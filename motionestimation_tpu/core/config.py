@@ -1,0 +1,55 @@
+"""Run configuration.
+
+The reference exposes exactly these knobs through positional argv
+(/root/reference/src/cpu/main.c:109-122) plus the getopts wrapper
+(/root/reference/src/gpu/run.sh:12-32): current frame, reference frame,
+output dir, block dim, extra span, width, height, metric (per-binary),
+and an emit-frames switch. We mirror them in one frozen dataclass.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    """Static configuration for one motion-estimation run.
+
+    Attributes:
+      blk_dim: macroblock side in pixels (reference default 8 for MSE,
+        16 for SSIM; main.c:117, main_ssim.c:40).
+      span: "extraSpan" — search window extends ±span pixels beyond the
+        block on every side, clamped to the frame (main.c:73-76).
+      metric: "mse" (SSD/N, minimised) or "ssim" (maximised).
+      algorithm: "full" (exhaustive raster scan — the reference's only
+        algorithm) or "diamond" (LDSP/SDSP with early termination — new,
+        required by BASELINE.json configs).
+      frame_width / frame_height: luma plane dimensions.
+    """
+
+    blk_dim: int = 8
+    span: int = 12
+    metric: str = "mse"
+    algorithm: str = "full"
+    frame_width: int = 352
+    frame_height: int = 288
+
+    def __post_init__(self):
+        if self.blk_dim < 1:
+            raise ValueError(f"blk_dim must be >= 1, got {self.blk_dim}")
+        if self.span < 0:
+            raise ValueError(f"span must be >= 0, got {self.span}")
+        if self.metric not in ("mse", "ssim"):
+            raise ValueError(f"metric must be 'mse' or 'ssim', got {self.metric!r}")
+        if self.algorithm not in ("full", "diamond"):
+            raise ValueError(
+                f"algorithm must be 'full' or 'diamond', got {self.algorithm!r}"
+            )
+        if self.frame_width < 1 or self.frame_height < 1:
+            raise ValueError("frame dimensions must be positive")
+
+    @property
+    def num_candidates(self) -> int:
+        """Size of the (un-clamped) candidate displacement lattice."""
+        k = 2 * self.span + 1
+        return k * k

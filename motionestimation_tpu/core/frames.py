@@ -1,0 +1,103 @@
+"""Raw YUV (luma plane) frame I/O and host-side frame ops.
+
+Reference semantics reproduced (file:line in /root/reference):
+
+* ``yuvReadFrame`` reads exactly H*W bytes from the start of the file and
+  widens u8 -> int (src/common/utils.c:61-73). We load into uint8 and widen
+  to int32 on demand.
+* ``yuvWriteFrame`` narrows int -> u8 with a plain C cast, i.e. modulo-256
+  truncation (utils.c:55-59,75-92). All values written by the pipeline are
+  already in [0, 255], so this is lossless in practice; we reproduce the
+  cast anyway.
+* ``frameDiff`` is |a - b| (utils.c:94-100).
+* ``imagePSNR`` uses the *observed* max pixel of either frame (not 255),
+  double-precision MSE, returns 99.0 when MSE == 0, and
+  psnr = 20*log10(MAX) - 10*log10(MSE) (utils.c:137-164). Computed here on
+  host in float64 for exact parity with the printed reference values.
+* The emitted artifact is a 5-frame vertical stack
+  [ref, cur, compensated, |ref-cur|, |comp-cur|] named
+  ``output_<blk>_<span>.yuv`` (src/cpu/main.c:129,161-175).
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Sequence
+
+import numpy as np
+
+
+def load_yuv(path: str | os.PathLike, height: int, width: int) -> np.ndarray:
+    """Read the first H*W bytes of a raw YUV file as a [H, W] uint8 luma plane."""
+    n = height * width
+    with open(path, "rb") as f:
+        raw = f.read(n)
+    if len(raw) < n:
+        raise IOError(
+            f"{path}: expected at least {n} bytes for {width}x{height} luma, "
+            f"got {len(raw)}"
+        )
+    return np.frombuffer(raw, dtype=np.uint8, count=n).reshape(height, width)
+
+
+def save_yuv(path: str | os.PathLike, frame: np.ndarray) -> None:
+    """Write an integer frame as raw u8 bytes (C-cast narrowing, utils.c:57)."""
+    data = np.asarray(frame)
+    if data.dtype != np.uint8:
+        data = data.astype(np.uint8)  # wraps mod 256 like the C cast
+    with open(path, "wb") as f:
+        f.write(data.tobytes())
+
+
+def frame_diff(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """|a - b| elementwise in int32 (utils.c:94-100)."""
+    return np.abs(a.astype(np.int32) - b.astype(np.int32))
+
+
+def image_psnr(frame1: np.ndarray, frame2: np.ndarray) -> float:
+    """PSNR with the reference's exact conventions (utils.c:137-164).
+
+    MAX is the maximum observed sample of either frame (utils.c:147-152),
+    MSE accumulates |diff|^2 in float64, MSE == 0 returns 99.0 (utils.c:159).
+    """
+    a = frame1.astype(np.int64).ravel()
+    b = frame2.astype(np.int64).ravel()
+    max_val = int(max(a.max(initial=0), b.max(initial=0)))
+    diff = np.abs(a - b).astype(np.float64)
+    mse = float(np.dot(diff, diff)) / a.size
+    if mse == 0:
+        return 99.0
+    return 20.0 * math.log10(max_val) - 10.0 * math.log10(mse)
+
+
+def residual_mse(a: np.ndarray, b: np.ndarray) -> float:
+    """Mean squared residual between two frames.
+
+    The SSIM driver reports this as "Original Score" / "Compensated Score"
+    (src/cpu/main_ssim.c:90-96; float accumulation there, float64 here —
+    values agree to printout precision for frame-sized sums).
+    """
+    d = a.astype(np.float64).ravel() - b.astype(np.float64).ravel()
+    return float(np.dot(d, d)) / d.size
+
+
+def stack_output(
+    ref: np.ndarray, cur: np.ndarray, comp: np.ndarray
+) -> np.ndarray:
+    """Build the 5-frame stacked output [ref, cur, comp, |ref-cur|, |comp-cur|]
+
+    (src/cpu/main.c:161-168). Returns [5*H, W] int32.
+    """
+    frames: Sequence[np.ndarray] = (
+        ref.astype(np.int32),
+        cur.astype(np.int32),
+        comp.astype(np.int32),
+        frame_diff(ref, cur),
+        frame_diff(comp, cur),
+    )
+    return np.concatenate(frames, axis=0)
+
+
+def output_filename(output_dir: str | os.PathLike, blk_dim: int, span: int) -> str:
+    """``<dir>/output_<blk>_<span>.yuv`` (main.c:129)."""
+    return os.path.join(os.fspath(output_dir), f"output_{blk_dim}_{span}.yuv")
