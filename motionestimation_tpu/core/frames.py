@@ -71,14 +71,25 @@ def image_psnr(frame1: np.ndarray, frame2: np.ndarray) -> float:
 
 
 def residual_mse(a: np.ndarray, b: np.ndarray) -> float:
-    """Mean squared residual between two frames.
-
-    The SSIM driver reports this as "Original Score" / "Compensated Score"
-    (src/cpu/main_ssim.c:90-96; float accumulation there, float64 here —
-    values agree to printout precision for frame-sized sums).
-    """
+    """Mean squared residual between two frames (float64, the true value)."""
     d = a.astype(np.float64).ravel() - b.astype(np.float64).ravel()
     return float(np.dot(d, d)) / d.size
+
+
+def residual_mse_c_float32(a: np.ndarray, b: np.ndarray) -> float:
+    """Mean squared residual with the reference's float32 accumulation.
+
+    The SSIM driver accumulates the squared diffs sequentially in a float
+    (src/cpu/main_ssim.c:90-96); at frame scale the running sum reaches ~2^25
+    and late terms are absorbed with large rounding error, so the printed
+    "Original Score"/"Compensated Score" differ measurably from the true
+    value (e.g. 384.4514 vs 384.7116 on Foreman). Reproduced here with a
+    sequential float32 accumulate for output parity.
+    """
+    d = a.astype(np.int64).ravel() - b.astype(np.int64).ravel()
+    terms = (d * d).astype(np.float32)
+    total = np.add.accumulate(terms, dtype=np.float32)[-1]
+    return float(np.float32(total) / np.float32(d.size))
 
 
 def stack_output(

@@ -67,26 +67,43 @@ def ssim_from_sums(sum_ref, sum_sq_ref, sum_cur, sum_sq_cur, sum_cross, count):
     S = (CrossVar + C3) / (σr·σc + C3)
     score = L·C·S                                      (ssim.c:55-58)
     """
-    n = jnp.maximum(count, 1).astype(jnp.float32)
-    sr = sum_ref.astype(jnp.float32)
-    sc = sum_cur.astype(jnp.float32)
-    mean_ref = sr / n
-    mean_cur = sc / n
+    n_i = jnp.maximum(count, 1)
+    n = n_i.astype(jnp.float32)
+    mean_ref = sum_ref.astype(jnp.float32) / n
+    mean_cur = sum_cur.astype(jnp.float32) / n
 
-    var_ref = (
-        sum_sq_ref.astype(jnp.float32) - 2.0 * mean_ref * sr + n * mean_ref * mean_ref
-    ) / n
-    var_cur = (
-        sum_sq_cur.astype(jnp.float32) - 2.0 * mean_cur * sc + n * mean_cur * mean_cur
-    ) / n
+    # Variance with the float mean, computed without catastrophic
+    # cancellation: center on the integer floor-mean c = ΣX // N first.
+    #   Σ(x-M)² = Σ(x-c)² - 2(M-c)·Σ(x-c) + N(M-c)²
+    # Σ(x-c)² = Σx² - 2cΣx + Nc² is an exact int32 (≤ ~2^24, fits f32
+    # exactly), Σ(x-c) = Σx - Nc is an exact small int32, and (M-c) ∈ [0,1)
+    # is an exact f32 difference — so var matches the real Σ(x-M_f)²/N value
+    # to f32 ULP, versus the C code's sequentially-accumulated float sum
+    # (ssim.c:16-27) whose positive-term rounding noise is of the same order.
+    # A naive Σx² - 2MΣx + NM² in f32 loses ~4e-3 absolute on flat 16×16
+    # blocks, enough to flip MVs — observed on Foreman.
+    # C truncates the *float* mean (ssim.c:54 → int params at ssim.c:29);
+    # trunc(f32 mean) can differ from the exact floor S//N when the f32
+    # division rounds up across an integer, so truncate the f32 value itself.
+    imean_ref = mean_ref.astype(jnp.int32)
+    imean_cur = mean_cur.astype(jnp.int32)
+
+    def centered_var(sum_x, sum_sq, imean, mean):
+        csq = sum_sq - 2 * imean * sum_x + n_i * imean * imean  # int32 exact
+        cs = sum_x - n_i * imean  # int32 exact
+        frac = mean - imean.astype(jnp.float32)  # exact f32, in [0, 1)
+        num = (
+            csq.astype(jnp.float32)
+            - 2.0 * frac * cs.astype(jnp.float32)
+            + n * frac * frac
+        )
+        return num / n
+
+    var_ref = centered_var(sum_ref, sum_sq_ref, imean_ref, mean_ref)
+    var_cur = centered_var(sum_cur, sum_sq_cur, imean_cur, mean_cur)
     # Guard tiny negative rounding residue before sqrt.
     std_ref = jnp.sqrt(jnp.maximum(var_ref, 0.0))
     std_cur = jnp.sqrt(jnp.maximum(var_cur, 0.0))
-
-    # Integer-truncated means (non-negative, so trunc == floor). Exact in
-    # int32: Σref·cur fits because 255*255*1024 < 2^31.
-    imean_ref = (sum_ref // jnp.maximum(count, 1)).astype(jnp.int32)
-    imean_cur = (sum_cur // jnp.maximum(count, 1)).astype(jnp.int32)
     cross_sum = (
         sum_cross
         - imean_cur * sum_ref
