@@ -1,0 +1,634 @@
+"""Pallas TPU kernels: fused full-search cost volume + argmin.
+
+TPU-native analogue of the reference's optimized CUDA kernel
+(/root/reference/src/gpu/main_mse.cu:41-141), redesigned for the TPU memory
+hierarchy instead of translated. Two kernels share one driver:
+
+**Fast kernel** (`_kernel_f32`, blk_dim <= 16): per full-width row stripe,
+decompose SSD = (Qcur - X) + (Qref - X) where
+  Qcur = Σ cur²  per block          — computed once per stripe,
+  Qref = Σ ref²  over the candidate — a b×b box filter of ref², computed
+         once per stripe and rolled along with the window,
+  X    = Σ cur·ref(d)               — the only per-candidate work: one VPU
+         multiply, one MXU row-compaction matmul (0/1 selector), one
+         lane roll-tree.
+All quantities are integers < 2²⁴ held in float32, so every add/compare is
+exact (the grouping (Qcur-X)+(Qref-X) keeps every intermediate <= 2²⁴ in
+magnitude; a naive Qcur+Qref-2X intermediate would exceed it). Truncated
+edge blocks (frame not a multiple of blk_dim) violate the uniform-box
+assumption of Qref, so the driver recomputes the last block row/column with
+the exact kernel on thin slabs and merges.
+
+**Exact kernel** (`_kernel_int`, any blk_dim): per-pixel int32 SSD with a
+roll-and-add segmented reduction; handles truncated blocks directly via
+per-position extents and masks. Used for blk_dim > 16 and edge slabs.
+
+Mosaic-shaped design notes (learned the hard way):
+* Grid = full-width row stripes: trailing block dims equal the array dims,
+  which satisfies lane-divisibility for any frame width and any block size
+  (including non-power-of-two blocks like the reference's 7×7 runs).
+* Dynamic sublane/lane offsets are unprovable for Mosaic, so the candidate
+  window is obtained by *cumulative roll-by-one*: the dy loop rolls the
+  halo band up one row per step, the dx loop rolls the active row band
+  left one lane per step; a static [0:h, 0:w] slice is then the candidate.
+* 4-D reshapes and strided slices do not lower to TPU vectors; segmented
+  sums use a roll-and-add tree or a 0/1-selector matmul instead, and
+  block-grid compaction happens outside the kernel in XLA.
+* DMA slices must be lane-aligned to 128 and sublane-aligned to 8; padded
+  widths are rounded up accordingly (zeros, masked).
+* fori_loop carries of large vectors are round-tripped through VMEM every
+  iteration (measured ~25 us/iter of pure copy); all loop state lives in
+  VMEM scratch refs mutated in place, and the loops carry nothing.
+* Wide frames are processed in column panels (driver-level, using the
+  kernels' x_origin) to keep the per-stripe VMEM footprint bounded.
+
+Both kernels reproduce the *CPU* reference bit-exactly (the CUDA kernel's
+tie-breaking differs from the CPU path and its indexing is only consistent
+when 2*span+blk == 32 — SURVEY §6 quirk 7): the displacement loops walk
+the flat raster index in order with a strict-< update, which is exactly
+first-in-raster-order-wins (main.c:53-60).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from motionestimation_tpu.core import geometry
+from motionestimation_tpu.metrics import cost as cost_lib
+from motionestimation_tpu.search import full_search as fs
+
+# > any SSD (<= 255²·16² = 16.6M); python literal so the kernel does not
+# close over a traced constant.
+_BIG_F32 = 3.0e8
+
+# Column-panel width target (lanes). Keeps per-stripe VMEM ~7 MB at 4K.
+_PANEL_TARGET = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _sliding_sums(x, b: int, axis: int):
+    """Sliding-window sums of width b along `axis` via a roll-and-add tree.
+
+    Position i holds sum(x[i .. i+b-1]) wherever i <= n-b; trailing
+    positions contain wrapped garbage (callers only read positions
+    <= n-b). log2(b) doubling steps plus one fold per set bit of b, so
+    non-power-of-two block sizes work too.
+    """
+    if b == 1:
+        return x
+    n = x.shape[axis]
+    widths = {1: x}
+    w = 1
+    while w * 2 <= b:
+        widths[w * 2] = widths[w] + pltpu.roll(widths[w], n - w, axis)
+        w *= 2
+    acc = None
+    offset = 0
+    for w in sorted(widths, reverse=True):
+        if b & w:
+            term = (
+                widths[w]
+                if offset == 0
+                else pltpu.roll(widths[w], n - offset, axis)
+            )
+            acc = term if acc is None else acc + term
+            offset += w
+    return acc
+
+
+def _row_selector(nby_t: int, tile_h: int, blk_dim: int, mode: str):
+    """0/1 f32 selector matrices for MXU row compaction.
+
+    mode="sum":  S[r, y] = 1 iff y // blk_dim == r  (sums each block row)
+    mode="pick": S[r, y] = 1 iff y == r * blk_dim   (picks block-top rows)
+    """
+    r = lax.broadcasted_iota(jnp.int32, (nby_t, tile_h), 0)
+    y = lax.broadcasted_iota(jnp.int32, (nby_t, tile_h), 1)
+    sel = (y // blk_dim) == r if mode == "sum" else y == r * blk_dim
+    return sel.astype(jnp.float32)
+
+
+def _kernel_f32(
+    ref_hbm,          # [rows, halo_w] f32, HBM: span-padded reference panel
+    cur_ref,          # [TH, W] f32, VMEM stripe
+    cost_out,         # [nby_t, W] f32 block of [Hp2/b, W]
+    idx_out,          # [nby_t, W] int32 block
+    win_ref,          # [halo_rows, halo_w] f32 scratch (rolled in place)
+    s2_ref,           # [halo_rows, halo_w] f32 scratch (rolled in place)
+    row_ref,          # [TH, halo_w] f32 scratch (rolled in place)
+    s2row_ref,        # [nby_t, halo_w] f32 scratch (rolled in place)
+    qcur_ref,         # [nby_t, W] f32 scratch
+    bc_ref,           # [nby_t, W] f32 scratch (best cost)
+    bi_ref,           # [nby_t, W] int32 scratch (best flat index)
+    in_sem,
+    *,
+    blk_dim: int,
+    span: int,
+    tile_h: int,
+    tile_w: int,
+    frame_height: int,
+    frame_width: int,
+    x_origin: int,
+):
+    k = 2 * span + 1
+    nby_t = tile_h // blk_dim
+    y0 = pl.program_id(0) * tile_h
+    halo_rows = win_ref.shape[0]
+    halo_w = win_ref.shape[1]
+
+    copy_in = pltpu.make_async_copy(
+        ref_hbm.at[pl.ds(y0, halo_rows), :], win_ref, in_sem
+    )
+    copy_in.start()
+
+    sel_sum = _row_selector(nby_t, tile_h, blk_dim, "sum")
+    sel_pick = _row_selector(nby_t, tile_h, blk_dim, "pick")
+
+    # Per-block-row / per-lane geometry (interior blocks only — truncated
+    # edge blocks are recomputed by the exact kernel in the driver).
+    tl_y = y0 + lax.broadcasted_iota(jnp.int32, (nby_t, 1), 0) * blk_dim
+    tl_x = x_origin + lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
+
+    cur = cur_ref[:]
+    qcur_ref[:] = _sliding_sums(
+        jax.lax.dot(sel_sum, cur * cur, precision=lax.Precision.HIGHEST),
+        blk_dim,
+        axis=1,
+    )
+    bc_ref[:] = jnp.full((nby_t, tile_w), _BIG_F32, jnp.float32)
+    bi_ref[:] = jnp.full((nby_t, tile_w), span * k + span, jnp.int32)
+
+    copy_in.wait()
+    win0 = win_ref[:]
+    # Qref: b×b box sums of ref² over the halo band, once per stripe.
+    s2_ref[:] = _sliding_sums(
+        _sliding_sums(win0 * win0, blk_dim, axis=0), blk_dim, axis=1
+    )
+
+    def dy_body(i, _):
+        d_y = i - span
+        ok_y = (tl_y + d_y >= 0) & (tl_y + d_y <= frame_height - blk_dim)
+        row_ref[:] = win_ref[0:tile_h, :]
+        s2row_ref[:] = jax.lax.dot(
+            sel_pick, s2_ref[0:tile_h, :], precision=lax.Precision.HIGHEST
+        )
+
+        def dx_body(j, _):
+            d_x = j - span
+            prod = cur_ref[:] * row_ref[:, 0:tile_w]
+            x = _sliding_sums(
+                jax.lax.dot(
+                    sel_sum, prod, precision=lax.Precision.HIGHEST
+                ),
+                blk_dim,
+                axis=1,
+            )  # [nby_t, W]
+            # Exact-in-f32 grouping: both parentheses are integers with
+            # |.| <= 255²·b² <= 2²⁴, and their sum (the SSD) too.
+            ssd = (qcur_ref[:] - x) + (s2row_ref[:, 0:tile_w] - x)
+            ok_x = (tl_x + d_x >= 0) & (tl_x + d_x <= frame_width - blk_dim)
+            cand = jnp.where(ok_y & ok_x, ssd, _BIG_F32)
+            take = cand < bc_ref[:]  # strict < == first-raster-wins
+            bc_ref[:] = jnp.where(take, cand, bc_ref[:])
+            bi_ref[:] = jnp.where(take, i * k + j, bi_ref[:])
+            # roll by size-1 ≡ roll by -1: bring lane j+1 to lane j.
+            row_ref[:] = pltpu.roll(row_ref[:], halo_w - 1, 1)
+            s2row_ref[:] = pltpu.roll(s2row_ref[:], halo_w - 1, 1)
+            return 0
+
+        lax.fori_loop(0, k, dx_body, 0)
+        win_ref[:] = pltpu.roll(win_ref[:], halo_rows - 1, 0)
+        s2_ref[:] = pltpu.roll(s2_ref[:], halo_rows - 1, 0)
+        return 0
+
+    lax.fori_loop(0, k, dy_body, 0)
+    cost_out[:] = bc_ref[:]
+    idx_out[:] = bi_ref[:]
+
+
+def _kernel_int(
+    ref_hbm,          # [rows, halo_w] int32, HBM
+    cur_ref,          # [TH, W] int32, VMEM stripe
+    ssd_hbm,          # [Hp2, W] int32, HBM (manual DMA out)
+    idx_hbm,          # [Hp2, W] int32, HBM (manual DMA out)
+    win_ref,          # [halo_rows, halo_w] int32 scratch (rolled in place)
+    row_ref,          # [TH, halo_w] int32 scratch (rolled in place)
+    bc_ref,           # [TH, W] int32 scratch
+    bi_ref,           # [TH, W] int32 scratch
+    in_sem,
+    out_sems,
+    *,
+    blk_dim: int,
+    span: int,
+    tile_h: int,
+    tile_w: int,
+    frame_height: int,
+    frame_width: int,
+    x_origin: int,
+    y_origin: int,
+):
+    k = 2 * span + 1
+    y0 = y_origin + pl.program_id(0) * tile_h
+    halo_rows = win_ref.shape[0]
+    halo_w = win_ref.shape[1]
+
+    copy_in = pltpu.make_async_copy(
+        ref_hbm.at[pl.ds(pl.program_id(0) * tile_h, halo_rows), :],
+        win_ref,
+        in_sem,
+    )
+    copy_in.start()
+
+    # Per-pixel geometry: every position is a potential block top-left with
+    # *truncated* extents; only multiples of blk_dim are real blocks and
+    # only those are unmasked.
+    iy = lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0)
+    ix = lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
+    tl_y = y0 + iy
+    tl_x = x_origin + ix
+    blk_h = jnp.clip(frame_height - tl_y, 0, blk_dim)
+    blk_w = jnp.clip(frame_width - tl_x, 0, blk_dim)
+    rep = ((iy % blk_dim) == 0) & ((ix % blk_dim) == 0)
+    pix_mask = ((tl_y < frame_height) & (tl_x < frame_width)).astype(
+        jnp.int32
+    )
+
+    bc_ref[:] = jnp.full((tile_h, tile_w), cost_lib.INT32_MAX, jnp.int32)
+    bi_ref[:] = jnp.full((tile_h, tile_w), span * k + span, jnp.int32)
+
+    copy_in.wait()
+    cur = cur_ref[:] * pix_mask
+
+    def dy_body(i, _):
+        d_y = i - span
+        ok_y = (tl_y + d_y >= 0) & (tl_y + d_y <= frame_height - blk_h)
+        row_ref[:] = win_ref[0:tile_h, :]
+
+        def dx_body(j, _):
+            d_x = j - span
+            diff = cur - row_ref[:, 0:tile_w] * pix_mask
+            sums = _sliding_sums(
+                _sliding_sums(diff * diff, blk_dim, axis=0),
+                blk_dim,
+                axis=1,
+            )
+            ok_x = (tl_x + d_x >= 0) & (tl_x + d_x <= frame_width - blk_w)
+            cand = jnp.where(ok_y & ok_x & rep, sums, cost_lib.INT32_MAX)
+            take = cand < bc_ref[:]
+            bc_ref[:] = jnp.where(take, cand, bc_ref[:])
+            bi_ref[:] = jnp.where(take, i * k + j, bi_ref[:])
+            row_ref[:] = pltpu.roll(row_ref[:], halo_w - 1, 1)
+            return 0
+
+        lax.fori_loop(0, k, dx_body, 0)
+        win_ref[:] = pltpu.roll(win_ref[:], halo_rows - 1, 0)
+        return 0
+
+    lax.fori_loop(0, k, dy_body, 0)
+
+    out_row = pl.program_id(0) * tile_h
+    copy_cost = pltpu.make_async_copy(
+        bc_ref, ssd_hbm.at[pl.ds(out_row, tile_h), :], out_sems.at[0]
+    )
+    copy_idx = pltpu.make_async_copy(
+        bi_ref, idx_hbm.at[pl.ds(out_row, tile_h), :], out_sems.at[1]
+    )
+    copy_cost.start()
+    copy_idx.start()
+    copy_cost.wait()
+    copy_idx.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "blk_dim", "span", "frame_height", "frame_width",
+        "tile_h", "x_origin", "y_origin", "interpret",
+    ),
+)
+def _run_int(
+    cur_padded,
+    ref_padded,
+    *,
+    blk_dim: int,
+    span: int,
+    frame_height: int,
+    frame_width: int,
+    tile_h: int,
+    x_origin: int,
+    y_origin: int,
+    interpret: bool,
+):
+    """Exact int32 search over a padded slab. Returns pixel-positioned
+    (ssd, idx); valid entries at positions that are multiples of blk_dim."""
+    hp2, wp2 = cur_padded.shape
+    halo_rows = _round_up(tile_h + 2 * span, 8)
+    halo_w = ref_padded.shape[1]
+    kernel = functools.partial(
+        _kernel_int,
+        blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
+        frame_height=frame_height, frame_width=frame_width,
+        x_origin=x_origin, y_origin=y_origin,
+    )
+    out_shape = jax.ShapeDtypeStruct((hp2, wp2), jnp.int32)
+    ssd_px, idx_px = pl.pallas_call(
+        kernel,
+        grid=(hp2 // tile_h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_h, wp2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[out_shape, out_shape],
+        scratch_shapes=[
+            pltpu.VMEM((halo_rows, halo_w), jnp.int32),
+            pltpu.VMEM((tile_h, halo_w), jnp.int32),
+            pltpu.VMEM((tile_h, wp2), jnp.int32),
+            pltpu.VMEM((tile_h, wp2), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(ref_padded, cur_padded)
+    return ssd_px[::blk_dim, ::blk_dim], idx_px[::blk_dim, ::blk_dim]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "blk_dim", "span", "frame_height", "frame_width",
+        "tile_h", "x_origin", "interpret",
+    ),
+)
+def _run_f32(
+    cur_padded,
+    ref_padded,
+    *,
+    blk_dim: int,
+    span: int,
+    frame_height: int,
+    frame_width: int,
+    tile_h: int,
+    x_origin: int,
+    interpret: bool,
+):
+    """Fast f32 search over a padded panel (interior blocks).
+    Returns block-grid (ssd_i32, idx)."""
+    hp2, wp2 = cur_padded.shape
+    nby_t = tile_h // blk_dim
+    halo_rows = _round_up(tile_h + 2 * span, 8)
+    halo_w = ref_padded.shape[1]
+    kernel = functools.partial(
+        _kernel_f32,
+        blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
+        frame_height=frame_height, frame_width=frame_width,
+        x_origin=x_origin,
+    )
+    cost_px, idx_px = pl.pallas_call(
+        kernel,
+        grid=(hp2 // tile_h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_h, wp2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nby_t, wp2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nby_t, wp2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.float32),
+            jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+            pltpu.VMEM((tile_h, halo_w), jnp.float32),
+            pltpu.VMEM((nby_t, halo_w), jnp.float32),
+            pltpu.VMEM((nby_t, wp2), jnp.float32),
+            pltpu.VMEM((nby_t, wp2), jnp.float32),
+            pltpu.VMEM((nby_t, wp2), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(ref_padded, cur_padded)
+    ssd = cost_px[:, ::blk_dim].astype(jnp.int32)  # exact: integers < 2²⁴
+    return ssd, idx_px[:, ::blk_dim]
+
+
+def _pad_slab(frame, *, row_range, col_range, out_rows, out_cols, offset_r,
+              offset_c, dtype):
+    """Slice frame[rows, cols] (clamped to the frame) into a zero slab of
+    [out_rows, out_cols] such that frame[r0, c0] lands at [offset_r +
+    (r0 - row_range[0]), ...]. Used to build DMA-aligned halo slabs."""
+    r0, r1 = row_range
+    c0, c1 = col_range
+    rc0, rc1 = max(0, r0), min(frame.shape[0], r1)
+    cc0, cc1 = max(0, c0), min(frame.shape[1], c1)
+    piece = frame[rc0:rc1, cc0:cc1].astype(dtype)
+    top = offset_r + (rc0 - r0)
+    left = offset_c + (cc0 - c0)
+    return jnp.pad(
+        piece,
+        (
+            (top, out_rows - top - piece.shape[0]),
+            (left, out_cols - left - piece.shape[1]),
+        ),
+    )
+
+
+def _panel_widths(wp: int, blk_dim: int):
+    """Split the block-padded width into DMA-aligned column panels.
+
+    Panel width must be a multiple of lcm(128, blk_dim) so panel borders
+    align to both the lane tiling and the block grid; the last panel is
+    rounded up (zero-padded, masked)."""
+    unit = math.lcm(128, blk_dim)
+    panel = max(unit, (_PANEL_TARGET // unit) * unit)
+    starts = list(range(0, wp, panel))
+    return [(s, min(panel, _round_up(wp - s, unit))) for s in starts]
+
+
+def full_search_frame_pallas(
+    cur,
+    ref,
+    *,
+    blk_dim: int,
+    span: int,
+    tile: int | None = None,
+    interpret: bool | None = None,
+):
+    """Whole-frame full-search MSE via the fused Pallas kernels.
+
+    Bit-exact vs search.full_search_frame (and therefore vs the C
+    reference): identical MVs, identical integer SSDs.
+
+    Args:
+      tile: target stripe height in pixel rows (default 128); rounded up to
+        a multiple of 8*blk_dim (fast path) or lcm(8, blk_dim) (exact
+        path). Stripes span one column panel (~2048 lanes).
+      interpret: force interpreter mode (defaults to True off-TPU so tests
+        run on CPU).
+    """
+    if cur.shape != ref.shape:
+        raise ValueError(
+            f"current and reference frames must have identical shapes, "
+            f"got {cur.shape} vs {ref.shape}"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # One jitted program for the whole frame: padding, panel sweep, edge
+    # slabs, and MV decode fuse into a single dispatch (eager per-op
+    # dispatch otherwise dominates at ~1 ms/op on slow hosts).
+    return _full_search_frame_jit(
+        cur, ref, blk_dim=blk_dim, span=span,
+        tile=tile if tile is not None else 128, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blk_dim", "span", "tile", "interpret"),
+)
+def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret):
+    frame_height, frame_width = cur.shape
+    hp, wp = geometry.padded_dims(frame_height, frame_width, blk_dim)
+    nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
+
+    use_f32 = blk_dim <= 16
+    stripe_unit = 8 * blk_dim if use_f32 else math.lcm(8, blk_dim)
+    tile_h = min(_round_up(hp, stripe_unit), _round_up(tile, stripe_unit))
+    hp2 = _round_up(hp, tile_h)
+    halo_row_pad = _round_up(2 * span, 8)
+
+    run = _run_f32 if use_f32 else _run_int
+    dtype = jnp.float32 if use_f32 else jnp.int32
+
+    ssd_panels, idx_panels = [], []
+    for x0, pw in _panel_widths(wp, blk_dim):
+        halo_w = _round_up(pw + 2 * span, 128)
+        cur_p = _pad_slab(
+            cur, row_range=(0, frame_height), col_range=(x0, x0 + pw),
+            out_rows=hp2, out_cols=pw, offset_r=0, offset_c=0, dtype=dtype,
+        )
+        ref_p = _pad_slab(
+            ref,
+            row_range=(-span, hp2 + halo_row_pad - span),
+            col_range=(x0 - span, x0 - span + halo_w),
+            out_rows=hp2 + halo_row_pad, out_cols=halo_w,
+            offset_r=0, offset_c=0, dtype=dtype,
+        )
+        kwargs = dict(
+            blk_dim=blk_dim, span=span,
+            frame_height=frame_height, frame_width=frame_width,
+            tile_h=tile_h, x_origin=x0, interpret=interpret,
+        )
+        if not use_f32:
+            kwargs["y_origin"] = 0
+        s, i = run(cur_p, ref_p, **kwargs)
+        ssd_panels.append(s)
+        idx_panels.append(i)
+    ssd = jnp.concatenate(ssd_panels, axis=1)[:nby, :nbx]
+    idx = jnp.concatenate(idx_panels, axis=1)[:nby, :nbx]
+
+    if use_f32:
+        # Truncated edge blocks violate the fast kernel's uniform-box Qref;
+        # recompute them exactly on thin slabs and merge.
+        if frame_height % blk_dim:
+            e_ssd, e_idx = _edge_slab_bottom(
+                cur, ref, blk_dim=blk_dim, span=span, interpret=interpret
+            )
+            ssd = ssd.at[nby - 1, :].set(e_ssd[0, :nbx])
+            idx = idx.at[nby - 1, :].set(e_idx[0, :nbx])
+        if frame_width % blk_dim:
+            e_ssd, e_idx = _edge_slab_right(
+                cur, ref, blk_dim=blk_dim, span=span, interpret=interpret
+            )
+            ssd = ssd.at[:, nbx - 1].set(e_ssd[:nby, 0])
+            idx = idx.at[:, nbx - 1].set(e_idx[:nby, 0])
+
+    mv_y, mv_x = geometry.mv_from_flat_index(idx, span)
+    _, _, blk_h, blk_w = geometry.block_extents(
+        0, 0, nby, nbx, blk_dim, frame_height, frame_width
+    )
+    score = cost_lib.mse_from_ssd(ssd, blk_h * blk_w)
+    return fs.MotionField(mv_y, mv_x, ssd, score)
+
+
+def _edge_slab_bottom(cur, ref, *, blk_dim, span, interpret):
+    """Exact search for the last (truncated) block row: a thin full-width
+    horizontal slab through the int kernel."""
+    frame_height, frame_width = cur.shape
+    nby, _ = geometry.grid_shape(frame_height, frame_width, blk_dim)
+    y_org = (nby - 1) * blk_dim
+    tile_h = math.lcm(8, blk_dim)
+    wp = _round_up(frame_width, blk_dim)
+    wp2 = _round_up(wp, 128)
+    halo_w = _round_up(wp2 + 2 * span, 128)
+    halo_row_pad = _round_up(2 * span, 8)
+    cur_p = _pad_slab(
+        cur, row_range=(y_org, y_org + tile_h), col_range=(0, wp2),
+        out_rows=tile_h, out_cols=wp2, offset_r=0, offset_c=0,
+        dtype=jnp.int32,
+    )
+    ref_p = _pad_slab(
+        ref,
+        row_range=(y_org - span, y_org - span + tile_h + halo_row_pad),
+        col_range=(-span, halo_w - span),
+        out_rows=tile_h + halo_row_pad, out_cols=halo_w,
+        offset_r=0, offset_c=0, dtype=jnp.int32,
+    )
+    return _run_int(
+        cur_p, ref_p,
+        blk_dim=blk_dim, span=span,
+        frame_height=frame_height, frame_width=frame_width,
+        tile_h=tile_h, x_origin=0, y_origin=y_org, interpret=interpret,
+    )
+
+
+def _edge_slab_right(cur, ref, *, blk_dim, span, interpret):
+    """Exact search for the last (truncated) block column: a narrow
+    full-height vertical slab through the int kernel."""
+    frame_height, frame_width = cur.shape
+    _, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
+    x_org = (nbx - 1) * blk_dim
+    unit = math.lcm(8, blk_dim)
+    tile_h = min(_round_up(_round_up(frame_height, blk_dim), unit),
+                 _round_up(128, unit))
+    hp2 = _round_up(_round_up(frame_height, blk_dim), tile_h)
+    wp2 = 128
+    halo_w = _round_up(wp2 + 2 * span, 128)
+    halo_row_pad = _round_up(2 * span, 8)
+    cur_p = _pad_slab(
+        cur, row_range=(0, hp2), col_range=(x_org, x_org + wp2),
+        out_rows=hp2, out_cols=wp2, offset_r=0, offset_c=0,
+        dtype=jnp.int32,
+    )
+    ref_p = _pad_slab(
+        ref,
+        row_range=(-span, hp2 + halo_row_pad - span),
+        col_range=(x_org - span, x_org - span + halo_w),
+        out_rows=hp2 + halo_row_pad, out_cols=halo_w,
+        offset_r=0, offset_c=0, dtype=jnp.int32,
+    )
+    return _run_int(
+        cur_p, ref_p,
+        blk_dim=blk_dim, span=span,
+        frame_height=frame_height, frame_width=frame_width,
+        tile_h=tile_h, x_origin=x_org, y_origin=0, interpret=interpret,
+    )

@@ -18,6 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter startup (before this
+# file runs), so the env vars above may be read too late; force the CPU
+# platform at runtime as well.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: this host pays ~0.5s per tiny XLA program;
 # caching makes repeated test runs cheap.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")

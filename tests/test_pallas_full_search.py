@@ -1,0 +1,77 @@
+"""Pallas fused-search kernel vs the golden XLA path (interpret mode on CPU).
+
+The Pallas kernel must be bit-exact: identical MVs and integer SSDs to
+search.full_search_frame, which is itself byte-exact vs the compiled C
+reference (test_full_search_golden).
+"""
+import numpy as np
+import pytest
+
+from motionestimation_tpu.kernels import full_search_frame_pallas
+from motionestimation_tpu.search import full_search as fs
+
+from conftest import FixtureCase
+
+
+def _random_pair(rng, h, w):
+    ref = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    cur = np.roll(ref, (rng.integers(-3, 4), rng.integers(-3, 4)), (0, 1))
+    cur = np.clip(
+        cur.astype(np.int32) + rng.integers(-6, 7, (h, w)), 0, 255
+    ).astype(np.uint8)
+    return cur, ref
+
+
+def _assert_fields_equal(a: fs.MotionField, b: fs.MotionField):
+    np.testing.assert_array_equal(np.asarray(a.mv_y), np.asarray(b.mv_y))
+    np.testing.assert_array_equal(np.asarray(a.mv_x), np.asarray(b.mv_x))
+    np.testing.assert_array_equal(
+        np.asarray(a.best_cost_i32), np.asarray(b.best_cost_i32)
+    )
+
+
+@pytest.mark.parametrize(
+    "h,w,blk,span,tile",
+    [
+        (32, 32, 8, 4, 32),     # single tile
+        (64, 64, 8, 4, 32),     # 2x2 tiles, interior tile borders
+        (36, 52, 8, 5, 32),     # truncated edge blocks + ragged tiling
+        (48, 64, 16, 7, 32),    # span crosses tile border
+        (40, 56, 8, 12, 16),    # halo wider than the tile
+        (33, 45, 4, 3, 24),
+    ],
+)
+def test_pallas_matches_golden_random(h, w, blk, span, tile):
+    rng = np.random.default_rng(h + w * 7 + blk + span)
+    cur, ref = _random_pair(rng, h, w)
+    golden = fs.full_search_frame(cur, ref, blk_dim=blk, span=span, metric="mse")
+    pallas = full_search_frame_pallas(
+        cur, ref, blk_dim=blk, span=span, tile=tile, interpret=True
+    )
+    _assert_fields_equal(pallas, golden)
+
+
+def test_pallas_tie_breaking():
+    """Constant frames: every SSD ties at 0 → raster-first must win."""
+    cur = np.full((32, 32), 77, np.uint8)
+    ref = np.full((32, 32), 77, np.uint8)
+    golden = fs.full_search_frame(cur, ref, blk_dim=8, span=4, metric="mse")
+    pallas = full_search_frame_pallas(
+        cur, ref, blk_dim=8, span=4, tile=16, interpret=True
+    )
+    _assert_fields_equal(pallas, golden)
+    assert int(np.asarray(pallas.mv_y)[1, 1]) == -4  # window top-left wins
+
+
+def test_pallas_matches_reference_binary_foreman():
+    """End-to-end on the real Foreman pair against the C-binary fixture MVs
+    (via the golden path, already byte-exact vs the binary)."""
+    case = FixtureCase("foreman_mse_8_12")
+    golden = fs.full_search_frame(
+        case.cur, case.ref, blk_dim=case.blk_dim, span=case.span, metric="mse"
+    )
+    pallas = full_search_frame_pallas(
+        case.cur, case.ref, blk_dim=case.blk_dim, span=case.span, tile=96,
+        interpret=True,
+    )
+    _assert_fields_equal(pallas, golden)
