@@ -1,0 +1,121 @@
+"""Command-line driver, argv-compatible with the reference binaries.
+
+Positional interface (defaults match the CPU MSE driver,
+/root/reference/src/cpu/main.c:109-122):
+
+    python -m motionestimation_tpu.cli <current> <reference> <outdir> \
+        [blkDim] [extraSpan] [frameWidth] [frameHeight]
+
+plus keyword options the reference spread over separate binaries and the
+getopts wrapper (src/gpu/run.sh:12-32):
+
+    --metric {mse,ssim}      cost function        (per-binary in the ref)
+    --algorithm {full,diamond}
+    --backend {auto,xla,pallas}
+    --gop F1 F2 F3 ...       process a frame sequence pairwise
+    --no-output              skip the 5-frame stacked YUV  (-g inverse)
+    --timing-row             also print `total h2d kernel d2h psnr`
+                             (main_mse.cu:255 format)
+
+Stdout mirrors the reference drivers: the config echo block
+(main.c:121-122 style), `PSNR: %.6f` + output dims + computation time for
+MSE (main.c:171-178), `Original Score: %.4f, Compensated Score: %.4f` for
+SSIM (main_ssim.c:96).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from motionestimation_tpu.core import frames as frames_lib
+from motionestimation_tpu.core.config import SearchConfig
+from motionestimation_tpu.pipeline import runner
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="motionestimation_tpu",
+        description="TPU-native block-matching motion estimation",
+    )
+    p.add_argument("current", help="current frame (raw YUV luma)")
+    p.add_argument("reference", help="reference frame (raw YUV luma)")
+    p.add_argument("output_dir", help="directory for output artifacts")
+    p.add_argument("blk_dim", nargs="?", type=int, default=8)
+    p.add_argument("span", nargs="?", type=int, default=12)
+    p.add_argument("frame_width", nargs="?", type=int, default=352)
+    p.add_argument("frame_height", nargs="?", type=int, default=288)
+    p.add_argument("--metric", choices=("mse", "ssim"), default="mse")
+    p.add_argument(
+        "--algorithm", choices=("full", "diamond"), default="full"
+    )
+    p.add_argument(
+        "--backend", choices=("auto", "xla", "pallas"), default="auto"
+    )
+    p.add_argument("--gop", nargs="+", metavar="FRAME", default=None,
+                   help="process a frame sequence pairwise instead")
+    p.add_argument("--no-output", action="store_true")
+    p.add_argument("--timing-row", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    config = SearchConfig(
+        blk_dim=args.blk_dim,
+        span=args.span,
+        metric=args.metric,
+        algorithm=args.algorithm,
+        frame_width=args.frame_width,
+        frame_height=args.frame_height,
+    )
+
+    print("[")
+    print(f"  Current Frame: {args.current}")
+    print(f"  Reference Frame: {args.reference}")
+    print(f"  Output Dir: {args.output_dir}")
+    print(f"  BlkDim: {config.blk_dim}")
+    print(f"  ExtraSpan: {config.span}")
+    print(f"  FrameWidth: {config.frame_width}")
+    print(f"  FrameHeight: {config.frame_height}")
+    print("]")
+
+    if args.gop:
+        dumps = runner.run_gop(
+            args.gop, config,
+            output_dir=args.output_dir, backend=args.backend,
+        )
+        print(f"GOP: {len(dumps)} frame pairs -> {args.output_dir}")
+        return 0
+
+    cur = frames_lib.load_yuv(
+        args.current, config.frame_height, config.frame_width
+    )
+    ref = frames_lib.load_yuv(
+        args.reference, config.frame_height, config.frame_width
+    )
+    res = runner.run_pair(cur, ref, config, backend=args.backend)
+
+    if config.metric == "mse":
+        print(f"PSNR: {res.psnr:.6f}")
+    else:
+        print(
+            f"Original Score: {res.original_score:.4f}, "
+            f"Compensated Score: {res.compensated_score:.4f}"
+        )
+
+    if not args.no_output:
+        runner.write_artifacts(res, cur, ref, config, args.output_dir)
+        print(
+            f"Output file dimensions: ({config.frame_width} x "
+            f"{5 * config.frame_height})"
+        )
+    if config.metric == "mse":
+        print(f"Computation time: {res.kernel_ms:.0f} ms")
+        print(f"PSNR: {res.psnr:.0f} ")
+    if args.timing_row:
+        print(res.timing_row)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,264 @@
+"""End-to-end frame-pair pipeline: ingest -> search -> compensate -> score.
+
+TPU-native replacement for the reference drivers' main() bodies
+(/root/reference/src/cpu/main.c:109-179, src/gpu/main_mse.cu:145-286):
+host frames are staged to HBM (the analogue of the pinned-host
+cudaMemcpy H2D at main_mse.cu:202-207), one jitted program runs search +
+compensation on device, and results are fetched back for scoring and the
+5-frame stacked artifact. The timing split mirrors the reference's
+machine-parsable `total h2d kernel d2h psnr` row (main_mse.cu:255).
+
+Timing caveat: on runtimes whose `block_until_ready` acks at enqueue (the
+axon tunnel), phase boundaries are enforced by fetching a phase-dependent
+scalar to host; the d2h phase is the `np.asarray` fetch of the outputs.
+
+GOP mode processes a sequence of frames pairwise with double-buffered
+host->HBM prefetch (frame i+1 is staged while pair i computes) and dumps
+one `mv_%05d.npz` per pair, which doubles as a frame-granular
+checkpoint: a resumed run skips pairs whose dump already exists
+(SURVEY.md §5 checkpoint/resume).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionestimation_tpu.core import frames as frames_lib
+from motionestimation_tpu.core.config import SearchConfig
+from motionestimation_tpu.search import full_search as fs
+from motionestimation_tpu.search.full_search import MotionField
+
+
+@dataclasses.dataclass
+class PairResult:
+    """Everything one frame pair produces."""
+
+    field: MotionField  # numpy arrays, [nby, nbx]
+    comp: np.ndarray  # [H, W] int32 motion-compensated frame
+    psnr: float  # compensated vs current (utils.c:137-164 rules)
+    original_score: float  # residual MSE cur-vs-ref, C float32 accumulation
+    compensated_score: float  # residual MSE cur-vs-comp
+    total_ms: float
+    h2d_ms: float
+    kernel_ms: float
+    d2h_ms: float
+
+    @property
+    def timing_row(self) -> str:
+        """`total h2d kernel d2h psnr` (main_mse.cu:255)."""
+        return (
+            f"{self.total_ms:.6f} {self.h2d_ms:.6f} {self.kernel_ms:.6f} "
+            f"{self.d2h_ms:.6f} {self.psnr:.4f}"
+        )
+
+
+def select_backend(backend: str = "auto") -> str:
+    """Resolve "auto" to the best backend for the current platform."""
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
+    return backend
+
+
+def _search_fn(config: SearchConfig, backend: str):
+    """One jitted device program: search + compensation for a frame pair."""
+    h, w = config.frame_height, config.frame_width
+
+    if config.algorithm == "diamond":
+        from motionestimation_tpu.search import diamond
+
+        def run(cur, ref):
+            return diamond.diamond_search_frame(
+                cur, ref, blk_dim=config.blk_dim, span=config.span,
+                metric=config.metric,
+            )
+    elif backend == "pallas" and config.metric == "mse":
+        from motionestimation_tpu.kernels import full_search_pallas as ker
+
+        def run(cur, ref):
+            return ker.full_search_frame_pallas(
+                cur, ref, blk_dim=config.blk_dim, span=config.span
+            )
+    elif backend == "pallas" and config.metric == "ssim":
+        from motionestimation_tpu.kernels import ssim_pallas as ker
+
+        def run(cur, ref):
+            return ker.ssim_search_frame_pallas(
+                cur, ref, blk_dim=config.blk_dim, span=config.span
+            )
+    else:
+
+        def run(cur, ref):
+            return fs.full_search_frame(
+                cur, ref, blk_dim=config.blk_dim, span=config.span,
+                metric=config.metric,
+            )
+
+    @jax.jit
+    def step(cur, ref):
+        field = run(cur, ref)
+        comp = fs.compensate_frame(
+            ref, field,
+            frame_height=h, frame_width=w,
+            blk_dim=config.blk_dim, span=config.span,
+        )
+        # Tiny phase-fence scalar: fetching it on host guarantees the
+        # search/compensate program has fully executed.
+        fence = (
+            jnp.sum(field.mv_y) + jnp.sum(field.mv_x) + jnp.sum(comp[0])
+        )
+        return field, comp, fence
+
+    return step
+
+
+def run_pair(
+    cur: np.ndarray,
+    ref: np.ndarray,
+    config: SearchConfig,
+    *,
+    backend: str = "auto",
+    _step=None,
+) -> PairResult:
+    """Run one frame pair end to end with a 4-phase timing split."""
+    backend = select_backend(backend)
+    step = _step if _step is not None else _search_fn(config, backend)
+
+    t0 = time.perf_counter()
+    cur_d = jax.device_put(jnp.asarray(cur))
+    ref_d = jax.device_put(jnp.asarray(ref))
+    # Fence H2D: a scalar that depends on both transfers.
+    int(jnp.sum(cur_d[0], dtype=jnp.int32) + jnp.sum(ref_d[0], dtype=jnp.int32))
+    t1 = time.perf_counter()
+
+    field_d, comp_d, fence = step(cur_d, ref_d)
+    int(fence)  # fence the device program
+    t2 = time.perf_counter()
+
+    field = MotionField(*(np.asarray(x) for x in field_d))
+    comp = np.asarray(comp_d)
+    t3 = time.perf_counter()
+
+    cur_i = cur.astype(np.int32)
+    psnr = frames_lib.image_psnr(comp, cur_i)
+    orig = frames_lib.residual_mse_c_float32(cur, ref)
+    comp_score = frames_lib.residual_mse_c_float32(cur_i, comp)
+
+    return PairResult(
+        field=field,
+        comp=comp,
+        psnr=psnr,
+        original_score=orig,
+        compensated_score=comp_score,
+        total_ms=(t3 - t0) * 1e3,
+        h2d_ms=(t1 - t0) * 1e3,
+        kernel_ms=(t2 - t1) * 1e3,
+        d2h_ms=(t3 - t2) * 1e3,
+    )
+
+
+def write_artifacts(
+    result: PairResult,
+    cur: np.ndarray,
+    ref: np.ndarray,
+    config: SearchConfig,
+    output_dir: str | os.PathLike,
+) -> str:
+    """Write the 5-frame stacked YUV (main.c:161-175); returns the path."""
+    os.makedirs(output_dir, exist_ok=True)
+    stack = frames_lib.stack_output(ref, cur, result.comp)
+    path = frames_lib.output_filename(output_dir, config.blk_dim, config.span)
+    frames_lib.save_yuv(path, stack)
+    return path
+
+
+def _mv_dump_path(output_dir, i: int) -> str:
+    return os.path.join(os.fspath(output_dir), f"mv_{i:05d}.npz")
+
+
+def run_gop(
+    frame_paths: Sequence[str | os.PathLike],
+    config: SearchConfig,
+    *,
+    output_dir: str | os.PathLike,
+    backend: str = "auto",
+    resume: bool = True,
+) -> list[str]:
+    """Process a GOP: pair i = (frames[i+1] as current, frames[i] as ref).
+
+    Stages the next pair to device while the current pair computes
+    (double-buffered prefetch, the analogue of the reference's pinned-host
+    staging at main_mse.cu:168-169). Each pair dumps `mv_%05d.npz`
+    (mv_y, mv_x, best_cost, psnr, timing row); existing dumps are skipped
+    when `resume` so a killed run restarts at frame granularity.
+
+    Returns the list of dump paths (one per pair, including skipped).
+    """
+    backend = select_backend(backend)
+    step = _search_fn(config, backend)
+    os.makedirs(output_dir, exist_ok=True)
+    h, w = config.frame_height, config.frame_width
+
+    paths = [os.fspath(p) for p in frame_paths]
+    if len(paths) < 2:
+        raise ValueError("a GOP needs at least two frames")
+
+    todo = [
+        i for i in range(len(paths) - 1)
+        if not (resume and os.path.exists(_mv_dump_path(output_dir, i)))
+    ]
+    out = [_mv_dump_path(output_dir, i) for i in range(len(paths) - 1)]
+    if not todo:
+        return out
+
+    def load(i):
+        return frames_lib.load_yuv(paths[i], h, w)
+
+    # Prefetch: host frames -> device ahead of use.
+    host: dict[int, np.ndarray] = {}
+
+    def frame_host(i):
+        if i not in host:
+            host[i] = load(i)
+        return host[i]
+
+    staged: dict[int, jax.Array] = {}
+
+    def frame_dev(i):
+        if i not in staged:
+            staged[i] = jax.device_put(jnp.asarray(frame_host(i)))
+        return staged[i]
+
+    for n, i in enumerate(todo):
+        cur_d, ref_d = frame_dev(i + 1), frame_dev(i)
+        field_d, comp_d, fence = step(cur_d, ref_d)
+        # Overlap: stage the next pair while this one computes.
+        if n + 1 < len(todo):
+            j = todo[n + 1]
+            frame_dev(j)
+            frame_dev(j + 1)
+        int(fence)
+        field = MotionField(*(np.asarray(x) for x in field_d))
+        comp = np.asarray(comp_d)
+        psnr = frames_lib.image_psnr(comp, frame_host(i + 1).astype(np.int32))
+        np.savez(
+            _mv_dump_path(output_dir, i),
+            mv_y=field.mv_y,
+            mv_x=field.mv_x,
+            best_cost=field.best_cost_i32,
+            score=field.score,
+            psnr=psnr,
+            cur=paths[i + 1],
+            ref=paths[i],
+        )
+        # Drop buffers no longer needed.
+        staged.pop(i, None)
+        host.pop(i, None)
+    return out
