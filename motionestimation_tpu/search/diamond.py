@@ -1,0 +1,399 @@
+"""Diamond search (LDSP/SDSP) block matching.
+
+The reference implements only exhaustive full search (SURVEY.md §2); this
+module is the fast-search algorithm the BASELINE configs require ("diamond
+search (LDSP/SDSP) with early termination parity"). Since there is no C
+oracle, the semantics below are *canonical by definition* and pinned by
+`diamond_search_np` (plain numpy, the golden model); the batched JAX/TPU
+version must reproduce its trajectories exactly (tests/test_diamond.py).
+
+Canonical semantics
+-------------------
+Geometry, costs, and validity are identical to full search: truncated edge
+blocks (prediction_frame.c:21-22), clamped windows — a displacement d is
+legal iff the candidate block lies fully in-frame and |d| <= span
+component-wise (main.c:53-54,73-76) — MSE compared on exact integer SSD
+(strict <), SSIM on the float32 score (strict >).
+
+Per block, starting from center d = (0, 0):
+
+1. LDSP: evaluate the 9 large-diamond candidates around the center, in
+   raster order
+       (-2,0) (-1,-1) (-1,1) (0,-2) (0,0) (0,2) (1,-1) (1,1) (2,0);
+   out-of-window candidates are skipped. First-in-order wins ties. If the
+   winner is the center (offset (0,0)), LDSP converges; otherwise the
+   center moves to the winner and LDSP repeats, up to `max_steps`
+   iterations (default span + 2 — the step cap is part of the canonical
+   trajectory definition, not just an implementation bound).
+2. Early termination: if at the start of an LDSP round the center's
+   per-pixel cost beats `early_term` (MSE <= threshold, SSIM >= threshold),
+   the search stops and the MV is the center — SDSP is skipped too.
+3. SDSP: one evaluation of the 5 small-diamond candidates, raster order
+       (-1,0) (0,-1) (0,0) (0,1) (1,0);
+   the final MV is the winner.
+
+All blocks run in lockstep on TPU: a fixed `max_steps` fori_loop with a
+per-block active mask (converged / early-terminated blocks stop updating),
+then one masked SDSP pass — data-dependent per-block trajectories with no
+data-dependent control flow, as XLA requires.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from motionestimation_tpu.core import geometry
+from motionestimation_tpu.metrics import cost as cost_lib
+from motionestimation_tpu.search import full_search as fs
+from motionestimation_tpu.search.full_search import MotionField
+
+LDSP = ((-2, 0), (-1, -1), (-1, 1), (0, -2), (0, 0),
+        (0, 2), (1, -1), (1, 1), (2, 0))
+SDSP = ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0))
+
+
+def default_max_steps(span: int) -> int:
+    return span + 2
+
+
+# ---------------------------------------------------------------------------
+# Golden numpy model — defines the canonical trajectories.
+# ---------------------------------------------------------------------------
+
+
+def _np_cost(cur_blk, ref, tl_y, tl_x, h, w, d_y, d_x, span, metric,
+             frame_height, frame_width):
+    """Cost of displacement (d_y, d_x), or None if out of window."""
+    if abs(d_y) > span or abs(d_x) > span:
+        return None
+    y, x = tl_y + d_y, tl_x + d_x
+    if y < 0 or x < 0 or y + h > frame_height or x + w > frame_width:
+        return None
+    patch = ref[y : y + h, x : x + w].astype(np.int64)
+    if metric == "mse":
+        d = cur_blk.astype(np.int64) - patch
+        return int(np.sum(d * d))
+    n = h * w
+    sum_ref, sum_cur = int(patch.sum()), int(cur_blk.sum())
+    score = cost_lib.ssim_from_sums(
+        jnp.int32(sum_ref),
+        jnp.int32(np.sum(patch * patch)),
+        jnp.int32(sum_cur),
+        jnp.int32(np.sum(cur_blk.astype(np.int64) ** 2)),
+        jnp.int32(np.sum(patch * cur_blk.astype(np.int64))),
+        jnp.int32(n),
+    )
+    return float(score)
+
+
+def diamond_search_np(
+    cur,
+    ref,
+    *,
+    blk_dim: int,
+    span: int,
+    metric: str = "mse",
+    early_term: float | None = None,
+    max_steps: int | None = None,
+):
+    """Golden diamond search. Returns (mv_y, mv_x, best_cost, trajectory)
+    with trajectory [max_steps + 1, nby, nbx, 2] — the center after each
+    LDSP round (frozen once converged), trajectory[0] = (0, 0)."""
+    if max_steps is None:
+        max_steps = default_max_steps(span)
+    frame_height, frame_width = cur.shape
+    nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
+    mv_y = np.zeros((nby, nbx), np.int32)
+    mv_x = np.zeros((nby, nbx), np.int32)
+    best = np.zeros((nby, nbx), np.float64)
+    traj = np.zeros((max_steps + 1, nby, nbx, 2), np.int32)
+    minimise = metric == "mse"
+
+    for by in range(nby):
+        for bx in range(nbx):
+            tl_y, tl_x = by * blk_dim, bx * blk_dim
+            h = min(blk_dim, frame_height - tl_y)
+            w = min(blk_dim, frame_width - tl_x)
+            blk = cur[tl_y : tl_y + h, tl_x : tl_x + w]
+
+            def cost(d_y, d_x):
+                return _np_cost(
+                    blk, ref, tl_y, tl_x, h, w, d_y, d_x, span, metric,
+                    frame_height, frame_width,
+                )
+
+            cy = cx = 0
+            ccost = cost(0, 0)
+            done = False
+            for step in range(max_steps):
+                if not done:
+                    if early_term is not None:
+                        # float32 on both sides: matches the TPU compare.
+                        per_px = (
+                            np.float32(ccost) / np.float32(h * w)
+                            if minimise
+                            else np.float32(ccost)
+                        )
+                        if (minimise and per_px <= np.float32(early_term)) or (
+                            not minimise and per_px >= np.float32(early_term)
+                        ):
+                            done = True
+                    if not done:
+                        wy, wx, wcost = 0, 0, ccost
+                        for oy, ox in LDSP:
+                            c = cost(cy + oy, cx + ox)
+                            if c is None:
+                                continue
+                            if (minimise and c < wcost) or (
+                                not minimise and c > wcost
+                            ):
+                                wy, wx, wcost = oy, ox, c
+                        if (wy, wx) == (0, 0):
+                            done = True
+                        else:
+                            cy, cx, ccost = cy + wy, cx + wx, wcost
+                traj[step + 1, by, bx] = (cy, cx)
+            early = False
+            if early_term is not None:
+                per_px = (
+                    np.float32(ccost) / np.float32(h * w)
+                    if minimise
+                    else np.float32(ccost)
+                )
+                early = (minimise and per_px <= np.float32(early_term)) or (
+                    not minimise and per_px >= np.float32(early_term)
+                )
+            if not early:
+                # SDSP offsets are relative to the (fixed) pre-SDSP center.
+                wy, wx, wcost = 0, 0, ccost
+                for oy, ox in SDSP:
+                    c = cost(cy + oy, cx + ox)
+                    if c is None:
+                        continue
+                    if (minimise and c < wcost) or (
+                        not minimise and c > wcost
+                    ):
+                        wy, wx, wcost = oy, ox, c
+                cy, cx, ccost = cy + wy, cx + wx, wcost
+            mv_y[by, bx], mv_x[by, bx] = cy, cx
+            best[by, bx] = ccost
+    return mv_y, mv_x, best, traj
+
+
+# ---------------------------------------------------------------------------
+# Batched JAX version.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "blk_dim", "span", "metric", "early_term", "max_steps",
+        "record_trajectory", "frame_height", "frame_width",
+    ),
+)
+def _diamond_tile(
+    cur_p,
+    ref_halo,
+    *,
+    blk_dim: int,
+    span: int,
+    metric: str,
+    early_term,
+    max_steps: int,
+    record_trajectory: bool,
+    frame_height: int,
+    frame_width: int,
+):
+    hp, wp = cur_p.shape
+    nby, nbx = hp // blk_dim, wp // blk_dim
+    minimise = metric == "mse"
+
+    tl_y, tl_x, blk_h, blk_w = geometry.block_extents(
+        0, 0, nby, nbx, blk_dim, frame_height, frame_width
+    )
+    count = blk_h * blk_w
+
+    # Pixelwise in-frame mask + masked current frame, [hp, wp]. Candidate
+    # windows are materialised with ONE whole-frame gather per candidate
+    # (`ref_halo[p + d(block(p))]`, the compensate_tile pattern) and reduced
+    # per block — nested per-block dynamic_slice vmaps look natural but
+    # make XLA:TPU compile blow up (>5 min for CIF; the gather form is
+    # seconds).
+    iy = jnp.arange(hp, dtype=jnp.int32)[:, None]
+    ix = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    pix_mask = ((iy < frame_height) & (ix < frame_width)).astype(jnp.int32)
+    cur_m = cur_p.astype(jnp.int32) * pix_mask
+    ref_halo = ref_halo.astype(jnp.int32)
+    by = iy // blk_dim
+    bx = ix // blk_dim
+
+    if not minimise:
+        sum_cur = cost_lib.block_reduce(cur_m, blk_dim)
+        sum_sq_cur = cost_lib.block_reduce(cur_m * cur_m, blk_dim)
+
+    def window_frame(d_y, d_x):
+        """[hp, wp] mosaic of candidate windows: pixel p gets
+        ref[p + d(block(p))] from the span-padded halo."""
+        dyp = d_y[by, bx]
+        dxp = d_x[by, bx]
+        return ref_halo[span + iy + dyp, span + ix + dxp]
+
+    def cand_cost(d_y, d_x):
+        """[nby, nbx] cost of per-block displacement; invalid -> +-sentinel."""
+        valid = (
+            geometry.displacement_valid(
+                d_y, d_x, tl_y, tl_x, blk_h, blk_w,
+                frame_height, frame_width,
+            )
+            & (jnp.abs(d_y) <= span)
+            & (jnp.abs(d_x) <= span)
+        )
+        win = window_frame(d_y, d_x) * pix_mask
+        if minimise:
+            diff = cur_m - win
+            ssd = cost_lib.block_reduce(diff * diff, blk_dim)
+            return jnp.where(valid, ssd, cost_lib.INT32_MAX)
+        sum_ref = cost_lib.block_reduce(win, blk_dim)
+        sum_sq_ref = cost_lib.block_reduce(win * win, blk_dim)
+        sum_cross = cost_lib.block_reduce(win * cur_m, blk_dim)
+        score = cost_lib.ssim_from_sums(
+            sum_ref, sum_sq_ref, sum_cur, sum_sq_cur, sum_cross, count
+        )
+        return jnp.where(valid, score, -jnp.inf)
+
+    def better(c, best):
+        return (c < best) if minimise else (c > best)
+
+    def pattern_step(cy, cx, ccost, offsets):
+        """Evaluate a diamond pattern; returns winning (offset, cost) per
+        block — (0,0) with ccost when nothing beats the center.
+
+        lax.scan over the offset list (not a Python unroll): one traced
+        cand_cost in the program instead of |pattern|, which cuts XLA:TPU
+        compile time several-fold. Scan order = list order, so strict
+        comparison keeps first-in-order-wins ties.
+        """
+        offs = jnp.asarray(
+            [o for o in offsets if o != (0, 0)], jnp.int32
+        )  # center is the incumbent
+
+        def body(carry, o):
+            wy, wx, wc = carry
+            c = cand_cost(cy + o[0], cx + o[1])
+            take = better(c, wc)
+            wy = jnp.where(take, o[0], wy)
+            wx = jnp.where(take, o[1], wx)
+            wc = jnp.where(take, c, wc)
+            return (wy, wx, wc), None
+
+        (wy, wx, wc), _ = lax.scan(
+            body, (jnp.zeros_like(cy), jnp.zeros_like(cx), ccost), offs
+        )
+        return wy, wx, wc
+
+    def early_mask(ccost):
+        if early_term is None:
+            return jnp.zeros(ccost.shape, bool)
+        if minimise:
+            per_px = ccost.astype(jnp.float32) / jnp.maximum(
+                count, 1
+            ).astype(jnp.float32)
+            return per_px <= jnp.float32(early_term)
+        return ccost >= jnp.float32(early_term)
+
+    cy = jnp.zeros((nby, nbx), jnp.int32)
+    cx = jnp.zeros((nby, nbx), jnp.int32)
+    ccost = cand_cost(cy, cx)
+    active = jnp.ones((nby, nbx), bool)
+    terminated = jnp.zeros((nby, nbx), bool)
+    traj = (
+        jnp.zeros((max_steps + 1, nby, nbx, 2), jnp.int32)
+        if record_trajectory
+        else None
+    )
+
+    def ldsp_round(step, state):
+        cy, cx, ccost, active, terminated, traj = state
+        hit = early_mask(ccost) & active
+        terminated = terminated | hit
+        active = active & ~hit
+        wy, wx, wc = pattern_step(cy, cx, ccost, LDSP)
+        moved = active & ((wy != 0) | (wx != 0))
+        active = active & moved
+        cy = jnp.where(moved, cy + wy, cy)
+        cx = jnp.where(moved, cx + wx, cx)
+        ccost = jnp.where(moved, wc, ccost)
+        if traj is not None:
+            traj = traj.at[step + 1].set(jnp.stack([cy, cx], axis=-1))
+        return cy, cx, ccost, active, terminated, traj
+
+    cy, cx, ccost, active, terminated, traj = lax.fori_loop(
+        0, max_steps, ldsp_round,
+        (cy, cx, ccost, active, terminated, traj),
+        unroll=False,
+    )
+    # Post-loop early check mirrors the golden model's final-state check.
+    terminated = terminated | early_mask(ccost)
+
+    wy, wx, wc = pattern_step(cy, cx, ccost, SDSP)
+    apply_sdsp = ~terminated
+    cy = jnp.where(apply_sdsp, cy + wy, cy)
+    cx = jnp.where(apply_sdsp, cx + wx, cx)
+    ccost = jnp.where(apply_sdsp, wc, ccost)
+
+    if minimise:
+        ssd = ccost.astype(jnp.int32)
+        field = MotionField(cy, cx, ssd, cost_lib.mse_from_ssd(ssd, count))
+    else:
+        k = 2 * span + 1
+        flat = (cy + span) * k + (cx + span)
+        field = MotionField(cy, cx, flat, ccost)
+    return field, traj
+
+
+def diamond_search_frame(
+    cur,
+    ref,
+    *,
+    blk_dim: int,
+    span: int,
+    metric: str = "mse",
+    early_term: float | None = None,
+    max_steps: int | None = None,
+    record_trajectory: bool = False,
+):
+    """Whole-frame diamond search. cur/ref: [H, W] u8/i32 arrays.
+
+    Returns a MotionField, or (MotionField, trajectory) when
+    `record_trajectory` — trajectory [max_steps+1, nby, nbx, 2] matches
+    `diamond_search_np` exactly.
+    """
+    if cur.shape != ref.shape:
+        raise ValueError(
+            f"current and reference frames must have identical shapes, "
+            f"got {cur.shape} vs {ref.shape}"
+        )
+    if metric not in ("mse", "ssim"):
+        raise ValueError(f"unknown metric {metric!r}")
+    frame_height, frame_width = cur.shape
+    if max_steps is None:
+        max_steps = default_max_steps(span)
+    cur_p = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
+    ref_halo = fs.make_ref_halo(
+        ref, frame_height, frame_width, blk_dim, span
+    )
+    field, traj = _diamond_tile(
+        cur_p, ref_halo,
+        blk_dim=blk_dim, span=span, metric=metric,
+        early_term=early_term, max_steps=max_steps,
+        record_trajectory=record_trajectory,
+        frame_height=frame_height, frame_width=frame_width,
+    )
+    if record_trajectory:
+        return field, traj
+    return field

@@ -1,0 +1,89 @@
+"""Diamond search: batched TPU version == golden numpy trajectories."""
+import numpy as np
+import pytest
+
+from motionestimation_tpu.search import diamond
+from motionestimation_tpu.search.full_search import full_search_frame
+
+
+def _smooth(rng, h, w):
+    """Low-frequency random image (diamond search needs a smooth cost
+    surface to be meaningful)."""
+    small = rng.integers(0, 256, (h // 8 + 2, w // 8 + 2)).astype(np.float64)
+    up = np.kron(small, np.ones((8, 8)))[:h, :w]
+    return np.clip(up + rng.normal(0, 2, (h, w)), 0, 255).astype(np.uint8)
+
+
+def _pair(rng, h, w, dy, dx):
+    ref = _smooth(rng, h, w)
+    cur = np.roll(ref, (dy, dx), (0, 1))
+    cur = np.clip(
+        cur.astype(np.int32) + rng.integers(-2, 3, (h, w)), 0, 255
+    ).astype(np.uint8)
+    return cur, ref
+
+
+CASES = [
+    # h, w, blk, span, metric, early_term
+    (48, 64, 8, 7, "mse", None),
+    (48, 64, 8, 7, "mse", 50.0),
+    (52, 60, 8, 5, "mse", None),     # truncated edge blocks
+    (64, 64, 16, 15, "mse", None),
+    (48, 64, 8, 7, "ssim", None),
+    (48, 64, 8, 7, "ssim", 0.9),
+]
+
+
+@pytest.mark.parametrize("h,w,blk,span,metric,early", CASES)
+def test_trajectory_parity(h, w, blk, span, metric, early):
+    rng = np.random.default_rng(h * w + blk + span)
+    cur, ref = _pair(rng, h, w, 2, -3)
+    g_mvy, g_mvx, g_cost, g_traj = diamond.diamond_search_np(
+        cur, ref, blk_dim=blk, span=span, metric=metric, early_term=early
+    )
+    field, traj = diamond.diamond_search_frame(
+        cur, ref, blk_dim=blk, span=span, metric=metric, early_term=early,
+        record_trajectory=True,
+    )
+    assert np.array_equal(np.asarray(traj), g_traj), "trajectory mismatch"
+    assert np.array_equal(np.asarray(field.mv_y), g_mvy)
+    assert np.array_equal(np.asarray(field.mv_x), g_mvx)
+    if metric == "mse":
+        assert np.array_equal(
+            np.asarray(field.best_cost_i32), g_cost.astype(np.int64)
+        )
+
+
+def test_finds_global_shift():
+    rng = np.random.default_rng(7)
+    ref = _smooth(rng, 64, 96)
+    cur = np.roll(ref, (3, -4), (0, 1))
+    field = diamond.diamond_search_frame(cur, ref, blk_dim=8, span=7)
+    mvy = np.asarray(field.mv_y)[1:-1, 1:-1]
+    mvx = np.asarray(field.mv_x)[1:-1, 1:-1]
+    # wrap rows/cols aside, interior blocks should find the exact shift
+    assert (mvy == -3).mean() > 0.8
+    assert (mvx == 4).mean() > 0.8
+
+
+def test_never_beats_full_search_but_close():
+    rng = np.random.default_rng(11)
+    cur, ref = _pair(rng, 48, 64, 1, 2)
+    d = diamond.diamond_search_frame(cur, ref, blk_dim=8, span=7)
+    f = full_search_frame(cur, ref, blk_dim=8, span=7)
+    d_ssd = np.asarray(d.best_cost_i32)
+    f_ssd = np.asarray(f.best_cost_i32)
+    assert (d_ssd >= f_ssd).all()  # full search is optimal
+    assert np.abs(np.asarray(d.mv_y)) .max() <= 7
+    assert np.abs(np.asarray(d.mv_x)).max() <= 7
+
+
+def test_early_term_keeps_center():
+    """A huge threshold terminates every block at (0,0) immediately."""
+    rng = np.random.default_rng(3)
+    cur, ref = _pair(rng, 48, 64, 2, 2)
+    field = diamond.diamond_search_frame(
+        cur, ref, blk_dim=8, span=7, early_term=1e9
+    )
+    assert (np.asarray(field.mv_y) == 0).all()
+    assert (np.asarray(field.mv_x) == 0).all()
