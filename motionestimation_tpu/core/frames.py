@@ -26,9 +26,17 @@ from typing import Sequence
 
 import numpy as np
 
+from motionestimation_tpu import io_native
+
 
 def load_yuv(path: str | os.PathLike, height: int, width: int) -> np.ndarray:
-    """Read the first H*W bytes of a raw YUV file as a [H, W] uint8 luma plane."""
+    """Read the first H*W bytes of a raw YUV file as a [H, W] uint8 luma plane.
+
+    Uses the native mmap reader (io_native/libme_io.so) when built; the
+    Python fallback is byte-identical.
+    """
+    if io_native.available():
+        return io_native.read_frame(path, height, width)
     n = height * width
     with open(path, "rb") as f:
         raw = f.read(n)
@@ -43,6 +51,9 @@ def load_yuv(path: str | os.PathLike, height: int, width: int) -> np.ndarray:
 def save_yuv(path: str | os.PathLike, frame: np.ndarray) -> None:
     """Write an integer frame as raw u8 bytes (C-cast narrowing, utils.c:57)."""
     data = np.asarray(frame)
+    if io_native.available() and data.dtype == np.int32:
+        io_native.write_frame(path, data)
+        return
     if data.dtype != np.uint8:
         data = data.astype(np.uint8)  # wraps mod 256 like the C cast
     with open(path, "wb") as f:
@@ -99,6 +110,14 @@ def stack_output(
 
     (src/cpu/main.c:161-168). Returns [5*H, W] int32.
     """
+    if (
+        io_native.available()
+        and ref.shape == cur.shape == comp.shape
+    ):
+        return io_native.stack_output(
+            ref.astype(np.int32), cur.astype(np.int32),
+            comp.astype(np.int32),
+        )
     frames: Sequence[np.ndarray] = (
         ref.astype(np.int32),
         cur.astype(np.int32),
