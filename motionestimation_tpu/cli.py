@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from motionestimation_tpu.core.jax_setup import setup_jax
+    setup_jax()
     config = SearchConfig(
         blk_dim=args.blk_dim,
         span=args.span,

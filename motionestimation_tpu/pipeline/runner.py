@@ -21,6 +21,7 @@ checkpoint: a resumed run skips pairs whose dump already exists
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import Sequence
@@ -67,8 +68,13 @@ def select_backend(backend: str = "auto") -> str:
     return backend
 
 
+@functools.lru_cache(maxsize=64)
 def _search_fn(config: SearchConfig, backend: str):
-    """One jitted device program: search + compensation for a frame pair."""
+    """One jitted device program: search + compensation for a frame pair.
+
+    Cached per (config, backend): repeated run_pair calls reuse the same
+    jit closure instead of re-tracing.
+    """
     h, w = config.frame_height, config.frame_width
 
     if config.algorithm == "diamond":
