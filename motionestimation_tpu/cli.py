@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="process a frame sequence pairwise instead")
     p.add_argument("--no-output", action="store_true")
     p.add_argument("--timing-row", action="store_true")
+    p.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="capture a jax.profiler trace of the run into DIR "
+        "(the TPU-native analogue of the reference's getTimeStamp "
+        "phase brackets, utils.c:23-27)",
+    )
     return p
 
 
@@ -95,7 +101,16 @@ def main(argv=None) -> int:
     ref = frames_lib.load_yuv(
         args.reference, config.frame_height, config.frame_width
     )
-    res = runner.run_pair(cur, ref, config, backend=args.backend)
+    import contextlib
+
+    if args.profile:
+        import jax
+
+        trace_cm = jax.profiler.trace(args.profile)
+    else:
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        res = runner.run_pair(cur, ref, config, backend=args.backend)
 
     if config.metric == "mse":
         print(f"PSNR: {res.psnr:.6f}")
