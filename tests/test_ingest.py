@@ -1,0 +1,64 @@
+"""Sharded ingest: pre-sharded device_put feeds the sharded step with
+identical results, and the prefetcher preserves order."""
+import numpy as np
+
+from motionestimation_tpu.parallel import make_mesh
+from motionestimation_tpu.parallel import ingest
+from motionestimation_tpu.parallel.sharded import (
+    padded_dims_for_mesh,
+    sharded_motion_step,
+)
+
+
+def _batch(rng, b, h, w):
+    refs = rng.integers(0, 256, (b, h, w), dtype=np.uint8)
+    curs = np.clip(
+        refs.astype(np.int32) + rng.integers(-6, 7, refs.shape), 0, 255
+    ).astype(np.uint8)
+    return curs, refs
+
+
+def test_presharded_input_matches_host_input():
+    rng = np.random.default_rng(0)
+    mesh = make_mesh(2, 2, 2)
+    h = w = 64
+    blk, span = 8, 4
+    curs, refs = _batch(rng, 2, h, w)
+    hp, wp = padded_dims_for_mesh(h, w, blk, mesh)
+    assert (hp, wp) == (64, 64)
+
+    res_host = sharded_motion_step(
+        curs, refs, mesh=mesh, blk_dim=blk, span=span,
+        frame_height=h, frame_width=w,
+    )
+    cur_s = ingest.put_frame_batch(curs.astype(np.int32), mesh)
+    ref_s = ingest.put_frame_batch(refs.astype(np.int32), mesh)
+    res_shard = sharded_motion_step(
+        cur_s, ref_s, mesh=mesh, blk_dim=blk, span=span,
+        frame_height=h, frame_width=w,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_host.mv_y), np.asarray(res_shard.mv_y)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_host.comp), np.asarray(res_shard.comp)
+    )
+
+
+def test_local_row_range_single_process():
+    mesh = make_mesh(1, 2, 2)
+    assert ingest.local_row_range(mesh, 128) == (0, 128)
+
+
+def test_prefetcher_order_and_sharding():
+    rng = np.random.default_rng(1)
+    mesh = make_mesh(1, 2, 2)
+    batches = [
+        rng.integers(0, 256, (1, 32, 32), dtype=np.uint8).astype(np.int32)
+        for _ in range(5)
+    ]
+    out = list(ingest.ShardedPrefetcher(iter(batches), mesh))
+    assert len(out) == 5
+    for host, dev in zip(batches, out):
+        assert dev.sharding == ingest.frame_sharding(mesh)
+        np.testing.assert_array_equal(host, np.asarray(dev))
