@@ -61,7 +61,39 @@ def build_parser() -> argparse.ArgumentParser:
         "(the TPU-native analogue of the reference's getTimeStamp "
         "phase brackets, utils.c:23-27)",
     )
+    p.add_argument(
+        "--debug-block", nargs=2, type=int, metavar=("BY", "BX"),
+        default=None,
+        help="print the candidate cost surface and winner for one probe "
+        "block (the analogue of the reference's -DDEBUG probe printfs, "
+        "main.c:28-34,45-51)",
+    )
     return p
+
+
+def _print_debug_block(cur, ref, config: SearchConfig, by: int, bx: int):
+    """Dump the probe block's full cost surface (reference main.c:45-51)."""
+    import numpy as np
+
+    from motionestimation_tpu.search import full_search as fs
+
+    field, volume = fs.full_search_frame(
+        cur, ref, blk_dim=config.blk_dim, span=config.span,
+        metric=config.metric, return_cost_volume=True,
+    )
+    k = 2 * config.span + 1
+    surface = np.asarray(volume)[:, by, bx].reshape(k, k)
+    print(f"[debug] block ({by},{bx}) cost surface ({config.metric}):")
+    for dy in range(k):
+        row = " ".join(
+            f"{surface[dy, dx]:10.2f}" for dx in range(k)
+        )
+        print(f"[debug]   dy={dy - config.span:+3d}: {row}")
+    print(
+        f"[debug] best mv=({int(np.asarray(field.mv_y)[by, bx])},"
+        f"{int(np.asarray(field.mv_x)[by, bx])}) "
+        f"score={float(np.asarray(field.score)[by, bx]):.6f}"
+    )
 
 
 def main(argv=None) -> int:
@@ -111,6 +143,9 @@ def main(argv=None) -> int:
         trace_cm = contextlib.nullcontext()
     with trace_cm:
         res = runner.run_pair(cur, ref, config, backend=args.backend)
+
+    if args.debug_block:
+        _print_debug_block(cur, ref, config, *args.debug_block)
 
     if config.metric == "mse":
         print(f"PSNR: {res.psnr:.6f}")

@@ -92,14 +92,6 @@ def sharded_motion_step(
     ref_p = _pad_batch(ref_batch, hp, wp)
 
     tile_h, tile_w = hp // ty, wp // tx
-    if span > tile_h or span > tile_w:
-        # A halo wider than the neighbour tile needs multi-hop exchange
-        # (not yet implemented); fail loudly instead of silently dropping
-        # candidates.
-        raise ValueError(
-            f"span {span} exceeds shard tile ({tile_h}x{tile_w}); use a "
-            f"smaller mesh or larger frame"
-        )
 
     def step(cur_l, ref_l):
         # cur_l/ref_l: [B_l, tile_h, tile_w] local shard.

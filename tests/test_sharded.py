@@ -105,3 +105,33 @@ def test_sharded_halo_wider_than_tile_rejected_or_exact():
     golden = fs.full_search_frame(cur, ref, blk_dim=8, span=31)
     np.testing.assert_array_equal(np.asarray(mv_y), np.asarray(golden.mv_y))
     np.testing.assert_array_equal(np.asarray(mv_x), np.asarray(golden.mv_x))
+
+
+@pytest.mark.parametrize(
+    "ty,tx,h,w,blk,span",
+    [
+        (4, 2, 64, 32, 8, 20),   # halo spans 2 tiles vertically (tile_h 16)
+        (2, 4, 32, 64, 8, 20),   # and horizontally (tile_w 16)
+        (4, 1, 32, 32, 8, 31),   # span covers nearly the whole frame
+    ],
+)
+def test_multihop_halo_matches_unsharded(ty, tx, h, w, blk, span):
+    """span > neighbour tile: the halo must be assembled from multiple
+    hops; results stay bit-exact vs the single-device path."""
+    rng = np.random.default_rng(span * 100 + ty)
+    ref = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    cur = np.clip(
+        np.roll(ref, (2, -3), (0, 1)).astype(np.int32)
+        + rng.integers(-5, 6, (h, w)),
+        0, 255,
+    ).astype(np.uint8)
+    mesh = make_mesh(1, ty, tx)
+    mv_y, mv_x, cost, comp = sharded_full_search(
+        cur, ref, mesh=mesh, blk_dim=blk, span=span
+    )
+    golden = fs.full_search_frame(cur, ref, blk_dim=blk, span=span)
+    np.testing.assert_array_equal(np.asarray(mv_y), np.asarray(golden.mv_y))
+    np.testing.assert_array_equal(np.asarray(mv_x), np.asarray(golden.mv_x))
+    np.testing.assert_array_equal(
+        np.asarray(cost), np.asarray(golden.best_cost_i32)
+    )
