@@ -138,6 +138,7 @@ def _kernel_f32(
     frame_height: int,
     frame_width: int,
     x_origin: int,
+    unroll_dx: bool = False,
 ):
     k = 2 * span + 1
     nby_t = tile_h // blk_dim
@@ -174,41 +175,71 @@ def _kernel_f32(
         _sliding_sums(win0 * win0, blk_dim, axis=0), blk_dim, axis=1
     )
 
-    def dy_body(i, _):
+    def candidate(i, j, x, s2row_band):
+        """Fold candidate (dy=i, dx=j): x = Σ cur·ref(d) per block,
+        s2row_band = Qref row band, both [nby_t, tile_w]."""
         d_y = i - span
+        d_x = j - span
         ok_y = (tl_y + d_y >= 0) & (tl_y + d_y <= frame_height - blk_dim)
-        row_ref[:] = win_ref[0:tile_h, :]
-        s2row_ref[:] = jax.lax.dot(
-            sel_pick, s2_ref[0:tile_h, :], precision=lax.Precision.HIGHEST
-        )
+        # Exact-in-f32 grouping: both parentheses are integers with
+        # |.| <= 255²·b² <= 2²⁴, and their sum (the SSD) too.
+        ssd = (qcur_ref[:] - x) + (s2row_band - x)
+        ok_x = (tl_x + d_x >= 0) & (tl_x + d_x <= frame_width - blk_dim)
+        cand = jnp.where(ok_y & ok_x, ssd, _BIG_F32)
+        take = cand < bc_ref[:]  # strict < == first-raster-wins
+        bc_ref[:] = jnp.where(take, cand, bc_ref[:])
+        bi_ref[:] = jnp.where(take, i * k + j, bi_ref[:])
 
-        def dx_body(j, _):
-            d_x = j - span
-            prod = cur_ref[:] * row_ref[:, 0:tile_w]
-            x = _sliding_sums(
-                jax.lax.dot(
-                    sel_sum, prod, precision=lax.Precision.HIGHEST
-                ),
-                blk_dim,
-                axis=1,
-            )  # [nby_t, W]
-            # Exact-in-f32 grouping: both parentheses are integers with
-            # |.| <= 255²·b² <= 2²⁴, and their sum (the SSD) too.
-            ssd = (qcur_ref[:] - x) + (s2row_ref[:, 0:tile_w] - x)
-            ok_x = (tl_x + d_x >= 0) & (tl_x + d_x <= frame_width - blk_dim)
-            cand = jnp.where(ok_y & ok_x, ssd, _BIG_F32)
-            take = cand < bc_ref[:]  # strict < == first-raster-wins
-            bc_ref[:] = jnp.where(take, cand, bc_ref[:])
-            bi_ref[:] = jnp.where(take, i * k + j, bi_ref[:])
-            # roll by size-1 ≡ roll by -1: bring lane j+1 to lane j.
-            row_ref[:] = pltpu.roll(row_ref[:], halo_w - 1, 1)
-            s2row_ref[:] = pltpu.roll(s2row_ref[:], halo_w - 1, 1)
+    if unroll_dx:
+        # dx as a static Python unroll: candidate windows are *static*
+        # slices of the (dy-rolled) halo band — no per-step roll copies of
+        # the [TH, halo_w] row band, Mosaic lowers the offset reads
+        # directly. Row/s2row scratches are unused.
+        def dy_body(i, _):
+            s2band = jax.lax.dot(
+                sel_pick, s2_ref[0:tile_h, :],
+                precision=lax.Precision.HIGHEST,
+            )
+            for j in range(k):
+                prod = cur_ref[:] * win_ref[0:tile_h, j : j + tile_w]
+                x = _sliding_sums(
+                    jax.lax.dot(
+                        sel_sum, prod, precision=lax.Precision.HIGHEST
+                    ),
+                    blk_dim,
+                    axis=1,
+                )
+                candidate(i, j, x, s2band[:, j : j + tile_w])
+            win_ref[:] = pltpu.roll(win_ref[:], halo_rows - 1, 0)
+            s2_ref[:] = pltpu.roll(s2_ref[:], halo_rows - 1, 0)
             return 0
+    else:
+        def dy_body(i, _):
+            row_ref[:] = win_ref[0:tile_h, :]
+            s2row_ref[:] = jax.lax.dot(
+                sel_pick, s2_ref[0:tile_h, :],
+                precision=lax.Precision.HIGHEST,
+            )
 
-        lax.fori_loop(0, k, dx_body, 0)
-        win_ref[:] = pltpu.roll(win_ref[:], halo_rows - 1, 0)
-        s2_ref[:] = pltpu.roll(s2_ref[:], halo_rows - 1, 0)
-        return 0
+            def dx_body(j, _):
+                prod = cur_ref[:] * row_ref[:, 0:tile_w]
+                x = _sliding_sums(
+                    jax.lax.dot(
+                        sel_sum, prod, precision=lax.Precision.HIGHEST
+                    ),
+                    blk_dim,
+                    axis=1,
+                )  # [nby_t, W]
+                candidate(i, j, x, s2row_ref[:, 0:tile_w])
+                # roll by size-1 ≡ roll by -1: bring lane j+1 to lane j.
+                row_ref[:] = pltpu.roll(row_ref[:], halo_w - 1, 1)
+                s2row_ref[:] = pltpu.roll(s2row_ref[:], halo_w - 1, 1)
+                return 0
+
+            lax.fori_loop(0, k, dx_body, 0)
+            win_ref[:] = pltpu.roll(win_ref[:], halo_rows - 1, 0)
+            s2_ref[:] = pltpu.roll(s2_ref[:], halo_rows - 1, 0)
+            return 0
 
     lax.fori_loop(0, k, dy_body, 0)
     cost_out[:] = bc_ref[:]
@@ -370,7 +401,7 @@ def _run_int(
     jax.jit,
     static_argnames=(
         "blk_dim", "span", "frame_height", "frame_width",
-        "tile_h", "x_origin", "interpret",
+        "tile_h", "x_origin", "interpret", "unroll_dx",
     ),
 )
 def _run_f32(
@@ -384,6 +415,7 @@ def _run_f32(
     tile_h: int,
     x_origin: int,
     interpret: bool,
+    unroll_dx: bool = False,
 ):
     """Fast f32 search over a padded panel (interior blocks).
     Returns block-grid (ssd_i32, idx)."""
@@ -395,7 +427,7 @@ def _run_f32(
         _kernel_f32,
         blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
         frame_height=frame_height, frame_width=frame_width,
-        x_origin=x_origin,
+        x_origin=x_origin, unroll_dx=unroll_dx,
     )
     cost_px, idx_px = pl.pallas_call(
         kernel,
@@ -472,6 +504,7 @@ def full_search_frame_pallas(
     span: int,
     tile: int | None = None,
     interpret: bool | None = None,
+    unroll_dx: bool = False,
 ):
     """Whole-frame full-search MSE via the fused Pallas kernels.
 
@@ -498,14 +531,16 @@ def full_search_frame_pallas(
     return _full_search_frame_jit(
         cur, ref, blk_dim=blk_dim, span=span,
         tile=tile if tile is not None else 128, interpret=interpret,
+        unroll_dx=unroll_dx,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("blk_dim", "span", "tile", "interpret"),
+    static_argnames=("blk_dim", "span", "tile", "interpret", "unroll_dx"),
 )
-def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret):
+def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
+                           unroll_dx=False):
     frame_height, frame_width = cur.shape
     hp, wp = geometry.padded_dims(frame_height, frame_width, blk_dim)
     nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
@@ -538,7 +573,9 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret):
             frame_height=frame_height, frame_width=frame_width,
             tile_h=tile_h, x_origin=x0, interpret=interpret,
         )
-        if not use_f32:
+        if use_f32:
+            kwargs["unroll_dx"] = unroll_dx
+        else:
             kwargs["y_origin"] = 0
         s, i = run(cur_p, ref_p, **kwargs)
         ssd_panels.append(s)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from motionestimation_tpu.core import frames as frames_lib
+from motionestimation_tpu.core import geometry
 from motionestimation_tpu.core.config import SearchConfig
 from motionestimation_tpu.search import full_search as fs
 from motionestimation_tpu.search.full_search import MotionField
@@ -267,4 +268,97 @@ def run_gop(
         # Drop buffers no longer needed.
         staged.pop(i, None)
         host.pop(i, None)
+    return out
+
+
+def run_gop_sharded(
+    frame_paths: Sequence[str | os.PathLike],
+    config: SearchConfig,
+    *,
+    mesh,
+    output_dir: str | os.PathLike,
+    resume: bool = True,
+) -> list[str]:
+    """GOP processing over a device mesh (BASELINE config: sharded 4K GOP).
+
+    Consecutive frame pairs are batched along the mesh's "dp" axis and
+    each batch runs one `sharded_motion_step` (halo exchange + search +
+    compensation + psum'd stats); frame tiles shard over ("ty", "tx").
+    Ingest is mesh-sharded (parallel.ingest) with the next batch staged
+    while the current one computes. Dumps the same `mv_%05d.npz`
+    checkpoints as the single-device path, so runs are resumable and the
+    two paths are drop-in interchangeable.
+    """
+    from motionestimation_tpu.parallel import ingest
+    from motionestimation_tpu.parallel.sharded import (
+        padded_dims_for_mesh,
+        sharded_motion_step,
+    )
+
+    os.makedirs(output_dir, exist_ok=True)
+    h, w = config.frame_height, config.frame_width
+    paths = [os.fspath(p) for p in frame_paths]
+    if len(paths) < 2:
+        raise ValueError("a GOP needs at least two frames")
+    npairs = len(paths) - 1
+    todo = [
+        i for i in range(npairs)
+        if not (resume and os.path.exists(_mv_dump_path(output_dir, i)))
+    ]
+    out = [_mv_dump_path(output_dir, i) for i in range(npairs)]
+    if not todo:
+        return out
+
+    dp = mesh.shape["dp"]
+    hp, wp = padded_dims_for_mesh(h, w, config.blk_dim, mesh)
+    chunks = [todo[i : i + dp] for i in range(0, len(todo), dp)]
+
+    frames_cache: dict[int, np.ndarray] = {}
+
+    def frame(i):
+        if i not in frames_cache:
+            frames_cache[i] = frames_lib.load_yuv(paths[i], h, w)
+        return frames_cache[i]
+
+    def host_batches(which):
+        for chunk in chunks:
+            idxs = chunk + [chunk[-1]] * (dp - len(chunk))  # pad batch
+            sel = [i + 1 for i in idxs] if which == "cur" else idxs
+            batch = np.stack(
+                [
+                    np.pad(
+                        frame(i).astype(np.int32),
+                        ((0, hp - h), (0, wp - w)),
+                    )
+                    for i in sel
+                ]
+            )
+            yield batch
+
+    cur_stream = ingest.ShardedPrefetcher(host_batches("cur"), mesh)
+    ref_stream = ingest.ShardedPrefetcher(host_batches("ref"), mesh)
+
+    nby, nbx = geometry.grid_shape(h, w, config.blk_dim)
+    for chunk, cur_b, ref_b in zip(chunks, cur_stream, ref_stream):
+        res = sharded_motion_step(
+            cur_b, ref_b,
+            mesh=mesh, blk_dim=config.blk_dim, span=config.span,
+            metric=config.metric, frame_height=h, frame_width=w,
+        )
+        mv_y = np.asarray(res.mv_y)[:, :nby, :nbx]
+        mv_x = np.asarray(res.mv_x)[:, :nby, :nbx]
+        cost = np.asarray(res.best_cost)[:, :nby, :nbx]
+        comp = np.asarray(res.comp)[:, :h, :w]
+        for slot, i in enumerate(chunk):
+            psnr = frames_lib.image_psnr(
+                comp[slot], frame(i + 1).astype(np.int32)
+            )
+            np.savez(
+                _mv_dump_path(output_dir, i),
+                mv_y=mv_y[slot], mv_x=mv_x[slot],
+                best_cost=cost[slot], score=cost[slot],
+                psnr=psnr, cur=paths[i + 1], ref=paths[i],
+            )
+        for i in chunk:
+            frames_cache.pop(i, None)
     return out

@@ -1,5 +1,7 @@
 """Sharded ingest: pre-sharded device_put feeds the sharded step with
 identical results, and the prefetcher preserves order."""
+import os
+
 import numpy as np
 
 from motionestimation_tpu.parallel import make_mesh
@@ -62,3 +64,39 @@ def test_prefetcher_order_and_sharding():
     for host, dev in zip(batches, out):
         assert dev.sharding == ingest.frame_sharding(mesh)
         np.testing.assert_array_equal(host, np.asarray(dev))
+
+
+def test_run_gop_sharded_matches_single_device(tmp_path):
+    """Sharded GOP == single-device GOP: identical MV dumps."""
+    from motionestimation_tpu.core.config import SearchConfig
+    from motionestimation_tpu.pipeline import runner
+
+    frames_dir = "/root/reference/frames"
+    gop = [
+        f"{frames_dir}/ForemanYF1.yuv",
+        f"{frames_dir}/ForemanYF2.yuv",
+        f"{frames_dir}/ForemanYF4.yuv",
+    ]
+    config = SearchConfig(
+        blk_dim=16, span=7, frame_width=352, frame_height=288
+    )
+    single = tmp_path / "single"
+    shard = tmp_path / "shard"
+    runner.run_gop(gop, config, output_dir=single, backend="xla")
+    mesh = make_mesh(2, 2, 2)
+    out = runner.run_gop_sharded(
+        gop, config, mesh=mesh, output_dir=shard
+    )
+    assert len(out) == 2
+    for i in range(2):
+        a = np.load(single / f"mv_{i:05d}.npz")
+        b = np.load(shard / f"mv_{i:05d}.npz")
+        np.testing.assert_array_equal(a["mv_y"], b["mv_y"])
+        np.testing.assert_array_equal(a["mv_x"], b["mv_x"])
+        np.testing.assert_array_equal(a["best_cost"], b["best_cost"])
+        assert abs(float(a["psnr"]) - float(b["psnr"])) < 1e-9
+    # resume: second call is a no-op
+    m = {p: (shard / p).stat().st_mtime for p in os.listdir(shard)}
+    runner.run_gop_sharded(gop, config, mesh=mesh, output_dir=shard)
+    for p, t in m.items():
+        assert (shard / p).stat().st_mtime == t
