@@ -100,3 +100,22 @@ def test_mv_from_flat_index_roundtrip():
     flat = (np.asarray(mv_y) + span) * k + (np.asarray(mv_x) + span)
     np.testing.assert_array_equal(flat, np.arange(k * k))
     assert int(np.asarray(mv_y)[0]) == -span and int(np.asarray(mv_x)[0]) == -span
+
+
+def test_search_config_validation():
+    import pytest
+
+    from motionestimation_tpu.core.config import SearchConfig
+
+    with pytest.raises(ValueError):
+        SearchConfig(blk_dim=0)
+    with pytest.raises(ValueError):
+        SearchConfig(span=-1)
+    with pytest.raises(ValueError):
+        SearchConfig(metric="sad")
+    with pytest.raises(ValueError):
+        SearchConfig(algorithm="hexagon")
+    with pytest.raises(ValueError):
+        SearchConfig(frame_width=0)
+    c = SearchConfig(blk_dim=16, span=7)
+    assert c.num_candidates == 15 * 15
