@@ -75,3 +75,16 @@ def test_pallas_matches_reference_binary_foreman():
         interpret=True,
     )
     _assert_fields_equal(pallas, golden)
+
+
+@pytest.mark.parametrize("h,w,blk,span", [(64, 64, 8, 4), (36, 52, 8, 5)])
+def test_pallas_unroll_dx_matches_golden(h, w, blk, span):
+    """The static-slice (unrolled dx) kernel variant is bit-exact too."""
+    rng = np.random.default_rng(h + w + blk)
+    cur, ref = _random_pair(rng, h, w)
+    golden = fs.full_search_frame(cur, ref, blk_dim=blk, span=span, metric="mse")
+    pallas = full_search_frame_pallas(
+        cur, ref, blk_dim=blk, span=span, tile=32, interpret=True,
+        unroll_dx=True,
+    )
+    _assert_fields_equal(pallas, golden)
