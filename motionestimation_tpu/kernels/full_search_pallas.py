@@ -129,6 +129,7 @@ def _kernel_f32(
     qcur_ref,         # [nby_t, W] f32 scratch
     bc_ref,           # [nby_t, W] f32 scratch (best cost)
     bi_ref,           # [nby_t, W] int32 scratch (best flat index)
+    p_ref,            # [TH, chunk_dx*W] f32 scratch (chunk_dx mode only)
     in_sem,
     *,
     blk_dim: int,
@@ -139,6 +140,7 @@ def _kernel_f32(
     frame_width: int,
     x_origin: int,
     unroll_dx: bool = False,
+    chunk_dx: int = 0,
 ):
     k = 2 * span + 1
     nby_t = tile_h // blk_dim
@@ -190,11 +192,51 @@ def _kernel_f32(
         bc_ref[:] = jnp.where(take, cand, bc_ref[:])
         bi_ref[:] = jnp.where(take, i * k + j, bi_ref[:])
 
-    if unroll_dx:
+    if chunk_dx > 1:
+        # Batch C candidates per MXU call: stage C shifted products side
+        # by side in p_ref, then ONE [nby_t, TH] x [TH, C*W] compaction
+        # matmul. 625 tiny dependent matmuls serialize on MXU latency;
+        # batching deepens each matmul ~C-fold. The lane sliding-sum tree
+        # runs on the concatenated segments — its cross-segment wrap only
+        # contaminates positions x > W-b, which are never block top-lefts.
+        # Result segments are 128-aligned static slices (no lane rotate).
+        def dy_body(i, _):
+            row_ref[:] = win_ref[0:tile_h, :]
+            s2row_ref[:] = jax.lax.dot(
+                sel_pick, s2_ref[0:tile_h, :],
+                precision=lax.Precision.HIGHEST,
+            )
+            for c0 in range(0, k, chunk_dx):
+                n_t = min(chunk_dx, k - c0)
+                for t in range(n_t):
+                    p_ref[:, t * tile_w : (t + 1) * tile_w] = (
+                        cur_ref[:] * row_ref[:, 0:tile_w]
+                    )
+                    row_ref[:] = pltpu.roll(row_ref[:], halo_w - 1, 1)
+                x_all = _sliding_sums(
+                    jax.lax.dot(
+                        sel_sum, p_ref[:, 0 : n_t * tile_w],
+                        precision=lax.Precision.HIGHEST,
+                    ),
+                    blk_dim,
+                    axis=1,
+                )
+                for t in range(n_t):
+                    candidate(
+                        i, c0 + t,
+                        x_all[:, t * tile_w : (t + 1) * tile_w],
+                        s2row_ref[:, 0:tile_w],
+                    )
+                    s2row_ref[:] = pltpu.roll(s2row_ref[:], halo_w - 1, 1)
+            win_ref[:] = pltpu.roll(win_ref[:], halo_rows - 1, 0)
+            s2_ref[:] = pltpu.roll(s2_ref[:], halo_rows - 1, 0)
+            return 0
+    elif unroll_dx:
         # dx as a static Python unroll: candidate windows are *static*
         # slices of the (dy-rolled) halo band — no per-step roll copies of
-        # the [TH, halo_w] row band, Mosaic lowers the offset reads
-        # directly. Row/s2row scratches are unused.
+        # the [TH, halo_w] row band. Measured SLOWER than the roll form
+        # (unaligned static-slice reads lane-rotate per use); kept for
+        # reference.
         def dy_body(i, _):
             s2band = jax.lax.dot(
                 sel_pick, s2_ref[0:tile_h, :],
@@ -401,7 +443,7 @@ def _run_int(
     jax.jit,
     static_argnames=(
         "blk_dim", "span", "frame_height", "frame_width",
-        "tile_h", "x_origin", "interpret", "unroll_dx",
+        "tile_h", "x_origin", "interpret", "unroll_dx", "chunk_dx",
     ),
 )
 def _run_f32(
@@ -416,6 +458,7 @@ def _run_f32(
     x_origin: int,
     interpret: bool,
     unroll_dx: bool = False,
+    chunk_dx: int = 0,
 ):
     """Fast f32 search over a padded panel (interior blocks).
     Returns block-grid (ssd_i32, idx)."""
@@ -427,7 +470,7 @@ def _run_f32(
         _kernel_f32,
         blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
         frame_height=frame_height, frame_width=frame_width,
-        x_origin=x_origin, unroll_dx=unroll_dx,
+        x_origin=x_origin, unroll_dx=unroll_dx, chunk_dx=chunk_dx,
     )
     cost_px, idx_px = pl.pallas_call(
         kernel,
@@ -455,6 +498,12 @@ def _run_f32(
             pltpu.VMEM((nby_t, wp2), jnp.float32),
             pltpu.VMEM((nby_t, wp2), jnp.float32),
             pltpu.VMEM((nby_t, wp2), jnp.int32),
+            pltpu.VMEM(
+                (tile_h, max(1, chunk_dx) * wp2)
+                if chunk_dx > 1
+                else (8, 128),
+                jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -505,6 +554,7 @@ def full_search_frame_pallas(
     tile: int | None = None,
     interpret: bool | None = None,
     unroll_dx: bool = False,
+    chunk_dx: int = 0,
 ):
     """Whole-frame full-search MSE via the fused Pallas kernels.
 
@@ -531,16 +581,17 @@ def full_search_frame_pallas(
     return _full_search_frame_jit(
         cur, ref, blk_dim=blk_dim, span=span,
         tile=tile if tile is not None else 128, interpret=interpret,
-        unroll_dx=unroll_dx,
+        unroll_dx=unroll_dx, chunk_dx=chunk_dx,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("blk_dim", "span", "tile", "interpret", "unroll_dx"),
+    static_argnames=("blk_dim", "span", "tile", "interpret", "unroll_dx",
+                     "chunk_dx"),
 )
 def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
-                           unroll_dx=False):
+                           unroll_dx=False, chunk_dx=0):
     frame_height, frame_width = cur.shape
     hp, wp = geometry.padded_dims(frame_height, frame_width, blk_dim)
     nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
@@ -575,6 +626,7 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
         )
         if use_f32:
             kwargs["unroll_dx"] = unroll_dx
+            kwargs["chunk_dx"] = chunk_dx
         else:
             kwargs["y_origin"] = 0
         s, i = run(cur_p, ref_p, **kwargs)
