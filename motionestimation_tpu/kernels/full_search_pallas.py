@@ -130,6 +130,7 @@ def _kernel_f32(
     bc_ref,           # [nby_t, W] f32 scratch (best cost)
     bi_ref,           # [nby_t, W] int32 scratch (best flat index)
     p_ref,            # [TH, chunk_dx*W] f32 scratch (chunk_dx mode only)
+    cur32_ref,        # [TH, W] f32 scratch (operand_bf16 mode only)
     in_sem,
     *,
     blk_dim: int,
@@ -141,6 +142,7 @@ def _kernel_f32(
     x_origin: int,
     unroll_dx: bool = False,
     chunk_dx: int = 0,
+    operand_bf16: bool = False,
 ):
     k = 2 * span + 1
     nby_t = tile_h // blk_dim
@@ -161,7 +163,14 @@ def _kernel_f32(
     tl_y = y0 + lax.broadcasted_iota(jnp.int32, (nby_t, 1), 0) * blk_dim
     tl_x = x_origin + lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
 
-    cur = cur_ref[:]
+    if operand_bf16:
+        # Stage the f32 current stripe once; per-candidate reads then mix
+        # one f32 operand with the half-width bf16 window rows (pixel
+        # values <= 255 are bf16-exact, products are formed in f32).
+        cur32_ref[:] = cur_ref[:].astype(jnp.float32)
+        cur = cur32_ref[:]
+    else:
+        cur = cur_ref[:]
     qcur_ref[:] = _sliding_sums(
         jax.lax.dot(sel_sum, cur * cur, precision=lax.Precision.HIGHEST),
         blk_dim,
@@ -171,7 +180,7 @@ def _kernel_f32(
     bi_ref[:] = jnp.full((nby_t, tile_w), span * k + span, jnp.int32)
 
     copy_in.wait()
-    win0 = win_ref[:]
+    win0 = win_ref[:].astype(jnp.float32)
     # Qref: b×b box sums of ref² over the halo band, once per stripe.
     s2_ref[:] = _sliding_sums(
         _sliding_sums(win0 * win0, blk_dim, axis=0), blk_dim, axis=1
@@ -206,11 +215,12 @@ def _kernel_f32(
                 sel_pick, s2_ref[0:tile_h, :],
                 precision=lax.Precision.HIGHEST,
             )
+            cur_v = cur32_ref[:] if operand_bf16 else cur_ref[:]
             for c0 in range(0, k, chunk_dx):
                 n_t = min(chunk_dx, k - c0)
                 for t in range(n_t):
                     p_ref[:, t * tile_w : (t + 1) * tile_w] = (
-                        cur_ref[:] * row_ref[:, 0:tile_w]
+                        cur_v * row_ref[:, 0:tile_w].astype(jnp.float32)
                     )
                     row_ref[:] = pltpu.roll(row_ref[:], halo_w - 1, 1)
                 x_all = _sliding_sums(
@@ -262,9 +272,10 @@ def _kernel_f32(
                 sel_pick, s2_ref[0:tile_h, :],
                 precision=lax.Precision.HIGHEST,
             )
+            cur_v = cur32_ref[:] if operand_bf16 else cur_ref[:]
 
             def dx_body(j, _):
-                prod = cur_ref[:] * row_ref[:, 0:tile_w]
+                prod = cur_v * row_ref[:, 0:tile_w].astype(jnp.float32)
                 x = _sliding_sums(
                     jax.lax.dot(
                         sel_sum, prod, precision=lax.Precision.HIGHEST
@@ -444,6 +455,7 @@ def _run_int(
     static_argnames=(
         "blk_dim", "span", "frame_height", "frame_width",
         "tile_h", "x_origin", "interpret", "unroll_dx", "chunk_dx",
+        "operand_bf16",
     ),
 )
 def _run_f32(
@@ -459,18 +471,21 @@ def _run_f32(
     interpret: bool,
     unroll_dx: bool = False,
     chunk_dx: int = 0,
+    operand_bf16: bool = False,
 ):
     """Fast f32 search over a padded panel (interior blocks).
     Returns block-grid (ssd_i32, idx)."""
     hp2, wp2 = cur_padded.shape
     nby_t = tile_h // blk_dim
-    halo_rows = _round_up(tile_h + 2 * span, 8)
+    halo_rows = _round_up(tile_h + 2 * span, 16 if operand_bf16 else 8)
     halo_w = ref_padded.shape[1]
+    op_dtype = jnp.bfloat16 if operand_bf16 else jnp.float32
     kernel = functools.partial(
         _kernel_f32,
         blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
         frame_height=frame_height, frame_width=frame_width,
         x_origin=x_origin, unroll_dx=unroll_dx, chunk_dx=chunk_dx,
+        operand_bf16=operand_bf16,
     )
     cost_px, idx_px = pl.pallas_call(
         kernel,
@@ -491,9 +506,9 @@ def _run_f32(
             jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.int32),
         ],
         scratch_shapes=[
+            pltpu.VMEM((halo_rows, halo_w), op_dtype),
             pltpu.VMEM((halo_rows, halo_w), jnp.float32),
-            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
-            pltpu.VMEM((tile_h, halo_w), jnp.float32),
+            pltpu.VMEM((tile_h, halo_w), op_dtype),
             pltpu.VMEM((nby_t, halo_w), jnp.float32),
             pltpu.VMEM((nby_t, wp2), jnp.float32),
             pltpu.VMEM((nby_t, wp2), jnp.float32),
@@ -503,6 +518,9 @@ def _run_f32(
                 if chunk_dx > 1
                 else (8, 128),
                 jnp.float32,
+            ),
+            pltpu.VMEM(
+                (tile_h, wp2) if operand_bf16 else (8, 128), jnp.float32
             ),
             pltpu.SemaphoreType.DMA,
         ],
@@ -555,6 +573,7 @@ def full_search_frame_pallas(
     interpret: bool | None = None,
     unroll_dx: bool = False,
     chunk_dx: int = 0,
+    operand_bf16: bool = False,
 ):
     """Whole-frame full-search MSE via the fused Pallas kernels.
 
@@ -581,17 +600,18 @@ def full_search_frame_pallas(
     return _full_search_frame_jit(
         cur, ref, blk_dim=blk_dim, span=span,
         tile=tile if tile is not None else 128, interpret=interpret,
-        unroll_dx=unroll_dx, chunk_dx=chunk_dx,
+        unroll_dx=unroll_dx, chunk_dx=chunk_dx, operand_bf16=operand_bf16,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("blk_dim", "span", "tile", "interpret", "unroll_dx",
-                     "chunk_dx"),
+                     "chunk_dx", "operand_bf16"),
 )
 def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
-                           unroll_dx=False, chunk_dx=0):
+                           unroll_dx=False, chunk_dx=0,
+                           operand_bf16=False):
     frame_height, frame_width = cur.shape
     hp, wp = geometry.padded_dims(frame_height, frame_width, blk_dim)
     nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
@@ -600,10 +620,16 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
     stripe_unit = 8 * blk_dim if use_f32 else math.lcm(8, blk_dim)
     tile_h = min(_round_up(hp, stripe_unit), _round_up(tile, stripe_unit))
     hp2 = _round_up(hp, tile_h)
-    halo_row_pad = _round_up(2 * span, 8)
+    # must match _run_f32/_run_int's halo_rows rounding
+    halo_row_pad = _round_up(
+        2 * span, 16 if (use_f32 and operand_bf16) else 8
+    )
 
     run = _run_f32 if use_f32 else _run_int
-    dtype = jnp.float32 if use_f32 else jnp.int32
+    if use_f32:
+        dtype = jnp.bfloat16 if operand_bf16 else jnp.float32
+    else:
+        dtype = jnp.int32
 
     ssd_panels, idx_panels = [], []
     for x0, pw in _panel_widths(wp, blk_dim):
@@ -627,6 +653,7 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
         if use_f32:
             kwargs["unroll_dx"] = unroll_dx
             kwargs["chunk_dx"] = chunk_dx
+            kwargs["operand_bf16"] = operand_bf16
         else:
             kwargs["y_origin"] = 0
         s, i = run(cur_p, ref_p, **kwargs)
