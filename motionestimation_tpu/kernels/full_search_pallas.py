@@ -130,7 +130,6 @@ def _kernel_f32(
     bc_ref,           # [nby_t, W] f32 scratch (best cost)
     bi_ref,           # [nby_t, W] int32 scratch (best flat index)
     p_ref,            # [TH, chunk_dx*W] f32 scratch (chunk_dx mode only)
-    cur32_ref,        # [TH, W] f32 scratch (operand_bf16 mode only)
     in_sem,
     *,
     blk_dim: int,
@@ -142,7 +141,6 @@ def _kernel_f32(
     x_origin: int,
     unroll_dx: bool = False,
     chunk_dx: int = 0,
-    operand_bf16: bool = False,
 ):
     k = 2 * span + 1
     nby_t = tile_h // blk_dim
@@ -163,14 +161,7 @@ def _kernel_f32(
     tl_y = y0 + lax.broadcasted_iota(jnp.int32, (nby_t, 1), 0) * blk_dim
     tl_x = x_origin + lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
 
-    if operand_bf16:
-        # Stage the f32 current stripe once; per-candidate reads then mix
-        # one f32 operand with the half-width bf16 window rows (pixel
-        # values <= 255 are bf16-exact, products are formed in f32).
-        cur32_ref[:] = cur_ref[:].astype(jnp.float32)
-        cur = cur32_ref[:]
-    else:
-        cur = cur_ref[:]
+    cur = cur_ref[:]
     qcur_ref[:] = _sliding_sums(
         jax.lax.dot(sel_sum, cur * cur, precision=lax.Precision.HIGHEST),
         blk_dim,
@@ -209,23 +200,27 @@ def _kernel_f32(
         # runs on the concatenated segments — its cross-segment wrap only
         # contaminates positions x > W-b, which are never block top-lefts.
         # Result segments are 128-aligned static slices (no lane rotate).
+        # p_ref holds TWO C-wide halves used alternately, so the VPU
+        # product staging of group g+1 is independent of (and can overlap)
+        # the MXU matmul reading group g.
         def dy_body(i, _):
             row_ref[:] = win_ref[0:tile_h, :]
             s2row_ref[:] = jax.lax.dot(
                 sel_pick, s2_ref[0:tile_h, :],
                 precision=lax.Precision.HIGHEST,
             )
-            cur_v = cur32_ref[:] if operand_bf16 else cur_ref[:]
-            for c0 in range(0, k, chunk_dx):
+            cur_v = cur_ref[:]
+            for g, c0 in enumerate(range(0, k, chunk_dx)):
                 n_t = min(chunk_dx, k - c0)
+                half = (g % 2) * chunk_dx * tile_w
                 for t in range(n_t):
-                    p_ref[:, t * tile_w : (t + 1) * tile_w] = (
-                        cur_v * row_ref[:, 0:tile_w].astype(jnp.float32)
-                    )
+                    p_ref[
+                        :, half + t * tile_w : half + (t + 1) * tile_w
+                    ] = cur_v * row_ref[:, 0:tile_w].astype(jnp.float32)
                     row_ref[:] = pltpu.roll(row_ref[:], halo_w - 1, 1)
                 x_all = _sliding_sums(
                     jax.lax.dot(
-                        sel_sum, p_ref[:, 0 : n_t * tile_w],
+                        sel_sum, p_ref[:, half : half + n_t * tile_w],
                         precision=lax.Precision.HIGHEST,
                     ),
                     blk_dim,
@@ -272,7 +267,7 @@ def _kernel_f32(
                 sel_pick, s2_ref[0:tile_h, :],
                 precision=lax.Precision.HIGHEST,
             )
-            cur_v = cur32_ref[:] if operand_bf16 else cur_ref[:]
+            cur_v = cur_ref[:]
 
             def dx_body(j, _):
                 prod = cur_v * row_ref[:, 0:tile_w].astype(jnp.float32)
@@ -293,6 +288,129 @@ def _kernel_f32(
             win_ref[:] = pltpu.roll(win_ref[:], halo_rows - 1, 0)
             s2_ref[:] = pltpu.roll(s2_ref[:], halo_rows - 1, 0)
             return 0
+
+    lax.fori_loop(0, k, dy_body, 0)
+    cost_out[:] = bc_ref[:]
+    idx_out[:] = bi_ref[:]
+
+
+def _kernel_f32_bf16(
+    ref_hbm,          # [rows, halo_w] f32, HBM: span-padded reference panel
+    cur_ref,          # [TH, W] f32, VMEM stripe
+    cost_out,         # [nby_t, W] f32 block of [Hp2/b, W]
+    idx_out,          # [nby_t, W] int32 block
+    win_ref,          # [halo_rows, halo_w] f32 scratch (rolled per dy)
+    s2_ref,           # [halo_rows, halo_w] f32 scratch (rolled per dy)
+    band16_ref,       # [TH, halo_w] bf16 scratch (staged dy row band)
+    cur16_ref,        # [TH, W] bf16 scratch (staged current stripe)
+    s2row_ref,        # [nby_t, halo_w] f32 scratch
+    qcur_ref,         # [nby_t, W] f32 scratch
+    bc_ref,           # [nby_t, W] f32 scratch (best cost)
+    bi_ref,           # [nby_t, W] int32 scratch (best flat index)
+    p_ref,            # [TH, chunk*W] f32 scratch (product staging)
+    in_sem,
+    *,
+    blk_dim: int,
+    span: int,
+    tile_h: int,
+    tile_w: int,
+    frame_height: int,
+    frame_width: int,
+    x_origin: int,
+    chunk: int,
+):
+    """Half-width-operand variant of the chunked `_kernel_f32` (exact).
+
+    Pixel values <= 255 are bf16-exact, so the per-candidate operands are
+    *staged* as bf16 (halving the dominant VMEM read traffic) and widened
+    to f32 in registers before the multiply — every product and sum is
+    still computed exactly in f32.
+
+    Mosaic on TPU v5e miscompiles `pltpu.roll` and dynamic slices on bf16
+    vectors (crashes the backend), so nothing bf16 is ever rolled or
+    dynamically sliced here: the dy loop rolls the *f32* window and
+    re-stages its top band as bf16 once per dy (amortized over the k dx
+    candidates), and each dx candidate reads a *static* lane slice
+    `band16[:, j:j+W]`. dx candidates are batched `chunk` at a time
+    through one MXU row-compaction matmul (same scheme as the chunk_dx
+    mode of `_kernel_f32`); a full static dy unroll would shrink traffic
+    further but blows Mosaic compile time past 10 minutes.
+    """
+    k = 2 * span + 1
+    nby_t = tile_h // blk_dim
+    y0 = pl.program_id(0) * tile_h
+    halo_rows = win_ref.shape[0]
+
+    copy_in = pltpu.make_async_copy(
+        ref_hbm.at[pl.ds(y0, halo_rows), :], win_ref, in_sem
+    )
+    copy_in.start()
+
+    sel_sum = _row_selector(nby_t, tile_h, blk_dim, "sum")
+    sel_pick = _row_selector(nby_t, tile_h, blk_dim, "pick")
+    tl_y = y0 + lax.broadcasted_iota(jnp.int32, (nby_t, 1), 0) * blk_dim
+    tl_x = x_origin + lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
+
+    cur16_ref[:] = cur_ref[:].astype(jnp.bfloat16)
+    qcur_ref[:] = _sliding_sums(
+        jax.lax.dot(
+            sel_sum, cur_ref[:] * cur_ref[:], precision=lax.Precision.HIGHEST
+        ),
+        blk_dim,
+        axis=1,
+    )
+    bc_ref[:] = jnp.full((nby_t, tile_w), _BIG_F32, jnp.float32)
+    bi_ref[:] = jnp.full((nby_t, tile_w), span * k + span, jnp.int32)
+
+    copy_in.wait()
+    win0 = win_ref[:]
+    s2_ref[:] = _sliding_sums(
+        _sliding_sums(win0 * win0, blk_dim, axis=0), blk_dim, axis=1
+    )
+
+    def fold(i, j, x, s2row_band):
+        d_y = i - span
+        d_x = j - span
+        ok_y = (tl_y + d_y >= 0) & (tl_y + d_y <= frame_height - blk_dim)
+        ok_x = (tl_x + d_x >= 0) & (tl_x + d_x <= frame_width - blk_dim)
+        ssd = (qcur_ref[:] - x) + (s2row_band - x)
+        cand = jnp.where(ok_y & ok_x, ssd, _BIG_F32)
+        take = cand < bc_ref[:]  # strict < == first-raster-wins
+        bc_ref[:] = jnp.where(take, cand, bc_ref[:])
+        bi_ref[:] = jnp.where(take, i * k + j, bi_ref[:])
+
+    def dy_body(i, _):
+        band16_ref[:] = win_ref[0:tile_h, :].astype(jnp.bfloat16)
+        s2row_ref[:] = jax.lax.dot(
+            sel_pick, s2_ref[0:tile_h, :], precision=lax.Precision.HIGHEST
+        )
+        cur16 = cur16_ref[:].astype(jnp.float32)
+        for c0 in range(0, k, chunk):
+            n_t = min(chunk, k - c0)
+            for t in range(n_t):
+                j = c0 + t
+                p_ref[:, t * tile_w : (t + 1) * tile_w] = (
+                    cur16
+                    * band16_ref[:, j : j + tile_w].astype(jnp.float32)
+                )
+            x_all = _sliding_sums(
+                jax.lax.dot(
+                    sel_sum, p_ref[:, 0 : n_t * tile_w],
+                    precision=lax.Precision.HIGHEST,
+                ),
+                blk_dim,
+                axis=1,
+            )
+            for t in range(n_t):
+                j = c0 + t
+                fold(
+                    i, j,
+                    x_all[:, t * tile_w : (t + 1) * tile_w],
+                    s2row_ref[:, j : j + tile_w],
+                )
+        win_ref[:] = pltpu.roll(win_ref[:], halo_rows - 1, 0)
+        s2_ref[:] = pltpu.roll(s2_ref[:], halo_rows - 1, 0)
+        return 0
 
     lax.fori_loop(0, k, dy_body, 0)
     cost_out[:] = bc_ref[:]
@@ -477,16 +595,51 @@ def _run_f32(
     Returns block-grid (ssd_i32, idx)."""
     hp2, wp2 = cur_padded.shape
     nby_t = tile_h // blk_dim
-    halo_rows = _round_up(tile_h + 2 * span, 16 if operand_bf16 else 8)
+    halo_rows = _round_up(tile_h + 2 * span, 8)
     halo_w = ref_padded.shape[1]
-    op_dtype = jnp.bfloat16 if operand_bf16 else jnp.float32
-    kernel = functools.partial(
-        _kernel_f32,
-        blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
-        frame_height=frame_height, frame_width=frame_width,
-        x_origin=x_origin, unroll_dx=unroll_dx, chunk_dx=chunk_dx,
-        operand_bf16=operand_bf16,
-    )
+    if operand_bf16:
+        chunk = chunk_dx if chunk_dx > 1 else 5
+        kernel = functools.partial(
+            _kernel_f32_bf16,
+            blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
+            frame_height=frame_height, frame_width=frame_width,
+            x_origin=x_origin, chunk=chunk,
+        )
+        scratch_shapes = [
+            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+            pltpu.VMEM((tile_h, halo_w), jnp.bfloat16),
+            pltpu.VMEM((tile_h, wp2), jnp.bfloat16),
+            pltpu.VMEM((nby_t, halo_w), jnp.float32),
+            pltpu.VMEM((nby_t, wp2), jnp.float32),
+            pltpu.VMEM((nby_t, wp2), jnp.float32),
+            pltpu.VMEM((nby_t, wp2), jnp.int32),
+            pltpu.VMEM((tile_h, chunk * wp2), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        kernel = functools.partial(
+            _kernel_f32,
+            blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
+            frame_height=frame_height, frame_width=frame_width,
+            x_origin=x_origin, unroll_dx=unroll_dx, chunk_dx=chunk_dx,
+        )
+        scratch_shapes = [
+            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+            pltpu.VMEM((tile_h, halo_w), jnp.float32),
+            pltpu.VMEM((nby_t, halo_w), jnp.float32),
+            pltpu.VMEM((nby_t, wp2), jnp.float32),
+            pltpu.VMEM((nby_t, wp2), jnp.float32),
+            pltpu.VMEM((nby_t, wp2), jnp.int32),
+            pltpu.VMEM(
+                (tile_h, 2 * chunk_dx * wp2)
+                if chunk_dx > 1
+                else (8, 128),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA,
+        ]
     cost_px, idx_px = pl.pallas_call(
         kernel,
         grid=(hp2 // tile_h,),
@@ -505,25 +658,7 @@ def _run_f32(
             jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.float32),
             jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((halo_rows, halo_w), op_dtype),
-            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
-            pltpu.VMEM((tile_h, halo_w), op_dtype),
-            pltpu.VMEM((nby_t, halo_w), jnp.float32),
-            pltpu.VMEM((nby_t, wp2), jnp.float32),
-            pltpu.VMEM((nby_t, wp2), jnp.float32),
-            pltpu.VMEM((nby_t, wp2), jnp.int32),
-            pltpu.VMEM(
-                (tile_h, max(1, chunk_dx) * wp2)
-                if chunk_dx > 1
-                else (8, 128),
-                jnp.float32,
-            ),
-            pltpu.VMEM(
-                (tile_h, wp2) if operand_bf16 else (8, 128), jnp.float32
-            ),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(ref_padded, cur_padded)
     ssd = cost_px[:, ::blk_dim].astype(jnp.int32)  # exact: integers < 2²⁴
@@ -572,7 +707,7 @@ def full_search_frame_pallas(
     tile: int | None = None,
     interpret: bool | None = None,
     unroll_dx: bool = False,
-    chunk_dx: int = 0,
+    chunk_dx: int = 5,
     operand_bf16: bool = False,
 ):
     """Whole-frame full-search MSE via the fused Pallas kernels.
@@ -586,6 +721,9 @@ def full_search_frame_pallas(
         path). Stripes span one column panel (~2048 lanes).
       interpret: force interpreter mode (defaults to True off-TPU so tests
         run on CPU).
+      chunk_dx: dx-candidate batching factor for the MXU compaction matmul
+        (default 5 — the fastest measured config on TPU v5e at 4K, ~23 ms
+        vs ~28 ms for the unchunked roll form; 0/1 selects the roll form).
     """
     if cur.shape != ref.shape:
         raise ValueError(
@@ -610,7 +748,7 @@ def full_search_frame_pallas(
                      "chunk_dx", "operand_bf16"),
 )
 def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
-                           unroll_dx=False, chunk_dx=0,
+                           unroll_dx=False, chunk_dx=5,
                            operand_bf16=False):
     frame_height, frame_width = cur.shape
     hp, wp = geometry.padded_dims(frame_height, frame_width, blk_dim)
@@ -621,15 +759,12 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
     tile_h = min(_round_up(hp, stripe_unit), _round_up(tile, stripe_unit))
     hp2 = _round_up(hp, tile_h)
     # must match _run_f32/_run_int's halo_rows rounding
-    halo_row_pad = _round_up(
-        2 * span, 16 if (use_f32 and operand_bf16) else 8
-    )
+    halo_row_pad = _round_up(2 * span, 8)
 
     run = _run_f32 if use_f32 else _run_int
-    if use_f32:
-        dtype = jnp.bfloat16 if operand_bf16 else jnp.float32
-    else:
-        dtype = jnp.int32
+    # operand_bf16 panels stay f32: the bf16 staging happens inside the
+    # kernel (Mosaic v5e cannot DMA bf16 with dynamic sublane offsets).
+    dtype = jnp.float32 if use_f32 else jnp.int32
 
     ssd_panels, idx_panels = [], []
     for x0, pw in _panel_widths(wp, blk_dim):

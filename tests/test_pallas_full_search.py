@@ -88,3 +88,33 @@ def test_pallas_unroll_dx_matches_golden(h, w, blk, span):
         unroll_dx=True,
     )
     _assert_fields_equal(pallas, golden)
+
+
+@pytest.mark.parametrize("h,w,blk,span", [(64, 64, 8, 4), (36, 52, 8, 5)])
+def test_pallas_roll_mode_matches_golden(h, w, blk, span):
+    """chunk_dx=0 selects the unchunked roll-by-one kernel; bit-exact."""
+    rng = np.random.default_rng(h * 3 + w + blk)
+    cur, ref = _random_pair(rng, h, w)
+    golden = fs.full_search_frame(cur, ref, blk_dim=blk, span=span, metric="mse")
+    pallas = full_search_frame_pallas(
+        cur, ref, blk_dim=blk, span=span, tile=32, interpret=True,
+        chunk_dx=0,
+    )
+    _assert_fields_equal(pallas, golden)
+
+
+@pytest.mark.parametrize(
+    "h,w,blk,span,chunk",
+    [(64, 64, 8, 4, 3), (36, 52, 8, 5, 5), (48, 64, 16, 7, 4)],
+)
+def test_pallas_bf16_matches_golden(h, w, blk, span, chunk):
+    """The bf16-staged kernel variant is still bit-exact (pixels <= 255 are
+    bf16-exact; products are widened to f32 before the multiply)."""
+    rng = np.random.default_rng(h + w + blk + span + chunk)
+    cur, ref = _random_pair(rng, h, w)
+    golden = fs.full_search_frame(cur, ref, blk_dim=blk, span=span, metric="mse")
+    pallas = full_search_frame_pallas(
+        cur, ref, blk_dim=blk, span=span, tile=32, interpret=True,
+        operand_bf16=True, chunk_dx=chunk,
+    )
+    _assert_fields_equal(pallas, golden)
