@@ -756,7 +756,13 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
 
     use_f32 = blk_dim <= 16
     stripe_unit = 8 * blk_dim if use_f32 else math.lcm(8, blk_dim)
-    tile_h = min(_round_up(hp, stripe_unit), _round_up(tile, stripe_unit))
+    # Round the target DOWN to the stripe unit (min one unit): rounding up
+    # inflates per-stripe VMEM past the 16 MB scoped limit (e.g. blk 7 →
+    # unit 56 → a 128 target must become 112, not 168).
+    tile_h = min(
+        _round_up(hp, stripe_unit),
+        max(stripe_unit, tile // stripe_unit * stripe_unit),
+    )
     hp2 = _round_up(hp, tile_h)
     # must match _run_f32/_run_int's halo_rows rounding
     halo_row_pad = _round_up(2 * span, 8)

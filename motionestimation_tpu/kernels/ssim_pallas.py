@@ -38,7 +38,9 @@ from motionestimation_tpu.metrics import cost as cost_lib
 from motionestimation_tpu.search import full_search as fs
 from motionestimation_tpu.kernels.full_search_pallas import (
     _pad_slab,
+    _panel_widths,
     _round_up,
+    _row_selector,
     _sliding_sums,
 )
 
@@ -155,7 +157,7 @@ def _kernel_ssim(
     jax.jit,
     static_argnames=(
         "blk_dim", "span", "frame_height", "frame_width",
-        "tile_h", "interpret",
+        "tile_h", "x_origin", "y_origin", "interpret",
     ),
 )
 def _run_ssim(
@@ -167,6 +169,8 @@ def _run_ssim(
     frame_height: int,
     frame_width: int,
     tile_h: int,
+    x_origin: int = 0,
+    y_origin: int = 0,
     interpret: bool,
 ):
     hp2, wp2 = cur_padded.shape
@@ -176,7 +180,7 @@ def _run_ssim(
         _kernel_ssim,
         blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
         frame_height=frame_height, frame_width=frame_width,
-        x_origin=0, y_origin=0,
+        x_origin=x_origin, y_origin=y_origin,
     )
     score_px, idx_px = pl.pallas_call(
         kernel,
@@ -207,6 +211,222 @@ def _run_ssim(
     return score_px[::blk_dim, ::blk_dim], idx_px[::blk_dim, ::blk_dim]
 
 
+def _kernel_ssim_fast(
+    ref_hbm,          # [rows, halo_w] f32, HBM: span-padded reference panel
+    cur_ref,          # [TH, W] f32, VMEM stripe
+    score_out,        # [nby_t, W] f32 block of [Hp2/b, W]
+    idx_out,          # [nby_t, W] int32 block
+    win_ref,          # [halo_rows, halo_w] f32 scratch (rolled per dy)
+    s1_ref,           # [halo_rows, halo_w] f32 scratch: b×b box sums of ref
+    s2_ref,           # [halo_rows, halo_w] f32 scratch: box sums of ref²
+    row_ref,          # [TH, halo_w] f32 scratch (rolled per dx)
+    s1row_ref,        # [nby_t, halo_w] f32 scratch (rolled per dx)
+    s2row_ref,        # [nby_t, halo_w] f32 scratch (rolled per dx)
+    scur_ref,         # [nby_t, W] int32 scratch: Σcur per block
+    sqcur_ref,        # [nby_t, W] int32 scratch: Σcur² per block
+    bs_ref,           # [nby_t, W] f32 scratch (best score)
+    bi_ref,           # [nby_t, W] int32 scratch (best flat index)
+    p_ref,            # [TH, 2*chunk*W] f32 scratch (product staging)
+    in_sem,
+    *,
+    blk_dim: int,
+    span: int,
+    tile_h: int,
+    tile_w: int,
+    frame_height: int,
+    frame_width: int,
+    x_origin: int,
+    chunk: int,
+):
+    """Fast SSIM search for interior (untruncated) blocks, blk_dim <= 16.
+
+    Same stripe/panel skeleton and MXU machinery as the fast MSE kernel
+    (full_search_pallas._kernel_f32, chunk mode): the only per-candidate
+    work is the cross sum Σ cur·ref(d) — one VPU multiply batched `chunk`
+    candidates at a time through one row-compaction matmul. Everything
+    ref-only is hoisted: Σref and Σref² are b×b box-sum pyramids computed
+    ONCE per stripe (the per-pixel kernel `_kernel_ssim` recomputes both
+    per candidate — 6 sliding-sum pyramids per candidate vs 1 here, and on
+    a [TH, W] lattice instead of [TH/b, W]).
+
+    All sums are integers < 2²⁴ carried exactly in f32; they are converted
+    back to int32 and fed to the *same* `cost_lib.ssim_from_sums` the
+    golden XLA path uses, so the float32 score sequence — and therefore
+    the argmax MVs under the strict-> raster rule (ssim.c:97-105) — match
+    bit-exactly.
+    """
+    k = 2 * span + 1
+    nby_t = tile_h // blk_dim
+    y0 = pl.program_id(0) * tile_h
+    halo_rows = win_ref.shape[0]
+    halo_w = win_ref.shape[1]
+
+    copy_in = pltpu.make_async_copy(
+        ref_hbm.at[pl.ds(y0, halo_rows), :], win_ref, in_sem
+    )
+    copy_in.start()
+
+    sel_sum = _row_selector(nby_t, tile_h, blk_dim, "sum")
+    sel_pick = _row_selector(nby_t, tile_h, blk_dim, "pick")
+    tl_y = y0 + lax.broadcasted_iota(jnp.int32, (nby_t, 1), 0) * blk_dim
+    tl_x = x_origin + lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
+    count = jnp.int32(blk_dim * blk_dim)
+
+    cur = cur_ref[:]
+    scur_ref[:] = _sliding_sums(
+        jax.lax.dot(sel_sum, cur, precision=lax.Precision.HIGHEST),
+        blk_dim, axis=1,
+    ).astype(jnp.int32)
+    sqcur_ref[:] = _sliding_sums(
+        jax.lax.dot(sel_sum, cur * cur, precision=lax.Precision.HIGHEST),
+        blk_dim, axis=1,
+    ).astype(jnp.int32)
+    # SSIM maximises with strict >, initial best 0 (ssim.c:88,100); MV
+    # defaults to (0,0) — the golden path's documented deviation from the
+    # reference's uninitialised-memory read.
+    bs_ref[:] = jnp.zeros((nby_t, tile_w), jnp.float32)
+    bi_ref[:] = jnp.full((nby_t, tile_w), span * k + span, jnp.int32)
+
+    copy_in.wait()
+    win0 = win_ref[:]
+    s1_ref[:] = _sliding_sums(
+        _sliding_sums(win0, blk_dim, axis=0), blk_dim, axis=1
+    )
+    s2_ref[:] = _sliding_sums(
+        _sliding_sums(win0 * win0, blk_dim, axis=0), blk_dim, axis=1
+    )
+
+    def fold(i, j, cross, s1_band, s2_band):
+        d_y = i - span
+        d_x = j - span
+        ok_y = (tl_y + d_y >= 0) & (tl_y + d_y <= frame_height - blk_dim)
+        ok_x = (tl_x + d_x >= 0) & (tl_x + d_x <= frame_width - blk_dim)
+        score = cost_lib.ssim_from_sums(
+            s1_band.astype(jnp.int32),
+            s2_band.astype(jnp.int32),
+            scur_ref[:],
+            sqcur_ref[:],
+            cross.astype(jnp.int32),
+            count,
+        )
+        cand = jnp.where(ok_y & ok_x, score, -jnp.inf)
+        take = cand > bs_ref[:]  # strict > == first-raster-wins
+        bs_ref[:] = jnp.where(take, cand, bs_ref[:])
+        bi_ref[:] = jnp.where(take, i * k + j, bi_ref[:])
+
+    def dy_body(i, _):
+        row_ref[:] = win_ref[0:tile_h, :]
+        s1row_ref[:] = jax.lax.dot(
+            sel_pick, s1_ref[0:tile_h, :], precision=lax.Precision.HIGHEST
+        )
+        s2row_ref[:] = jax.lax.dot(
+            sel_pick, s2_ref[0:tile_h, :], precision=lax.Precision.HIGHEST
+        )
+        cur_v = cur_ref[:]
+        for g, c0 in enumerate(range(0, k, chunk)):
+            n_t = min(chunk, k - c0)
+            half = (g % 2) * chunk * tile_w
+            for t in range(n_t):
+                p_ref[
+                    :, half + t * tile_w : half + (t + 1) * tile_w
+                ] = cur_v * row_ref[:, 0:tile_w]
+                row_ref[:] = pltpu.roll(row_ref[:], halo_w - 1, 1)
+            x_all = _sliding_sums(
+                jax.lax.dot(
+                    sel_sum, p_ref[:, half : half + n_t * tile_w],
+                    precision=lax.Precision.HIGHEST,
+                ),
+                blk_dim,
+                axis=1,
+            )
+            for t in range(n_t):
+                fold(
+                    i, c0 + t,
+                    x_all[:, t * tile_w : (t + 1) * tile_w],
+                    s1row_ref[:, 0:tile_w],
+                    s2row_ref[:, 0:tile_w],
+                )
+                s1row_ref[:] = pltpu.roll(s1row_ref[:], halo_w - 1, 1)
+                s2row_ref[:] = pltpu.roll(s2row_ref[:], halo_w - 1, 1)
+        win_ref[:] = pltpu.roll(win_ref[:], halo_rows - 1, 0)
+        s1_ref[:] = pltpu.roll(s1_ref[:], halo_rows - 1, 0)
+        s2_ref[:] = pltpu.roll(s2_ref[:], halo_rows - 1, 0)
+        return 0
+
+    lax.fori_loop(0, k, dy_body, 0)
+    score_out[:] = bs_ref[:]
+    idx_out[:] = bi_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "blk_dim", "span", "frame_height", "frame_width",
+        "tile_h", "x_origin", "chunk", "interpret",
+    ),
+)
+def _run_ssim_fast(
+    cur_padded,
+    ref_padded,
+    *,
+    blk_dim: int,
+    span: int,
+    frame_height: int,
+    frame_width: int,
+    tile_h: int,
+    x_origin: int,
+    chunk: int,
+    interpret: bool,
+):
+    """Fast SSIM search over a padded f32 panel (interior blocks).
+    Returns block-grid (score, idx)."""
+    hp2, wp2 = cur_padded.shape
+    nby_t = tile_h // blk_dim
+    halo_rows = _round_up(tile_h + 2 * span, 8)
+    halo_w = ref_padded.shape[1]
+    kernel = functools.partial(
+        _kernel_ssim_fast,
+        blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
+        frame_height=frame_height, frame_width=frame_width,
+        x_origin=x_origin, chunk=chunk,
+    )
+    score_px, idx_px = pl.pallas_call(
+        kernel,
+        grid=(hp2 // tile_h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_h, wp2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nby_t, wp2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nby_t, wp2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.float32),
+            jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+            pltpu.VMEM((tile_h, halo_w), jnp.float32),
+            pltpu.VMEM((nby_t, halo_w), jnp.float32),
+            pltpu.VMEM((nby_t, halo_w), jnp.float32),
+            pltpu.VMEM((nby_t, wp2), jnp.int32),
+            pltpu.VMEM((nby_t, wp2), jnp.int32),
+            pltpu.VMEM((nby_t, wp2), jnp.float32),
+            pltpu.VMEM((nby_t, wp2), jnp.int32),
+            pltpu.VMEM((tile_h, 2 * chunk * wp2), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(ref_padded, cur_padded)
+    return score_px[:, ::blk_dim], idx_px[:, ::blk_dim]
+
+
 def ssim_search_frame_pallas(
     cur,
     ref,
@@ -215,13 +435,20 @@ def ssim_search_frame_pallas(
     span: int,
     tile: int | None = None,
     interpret: bool | None = None,
+    chunk_dx: int = 4,
 ):
-    """Whole-frame SSIM full search via the fused Pallas kernel.
+    """Whole-frame SSIM full search via the fused Pallas kernels.
 
     MV-exact vs search.full_search_frame(metric="ssim") — identical
     float32 score sequence, identical raster tie-breaking. Returns a
     MotionField with (mv, flat-index proxy, score), mirroring the golden
     SSIM path's field layout (full_search.py).
+
+    blk_dim <= 16 uses the fast hoisted-box-sum kernel (interior blocks)
+    with exact per-pixel slabs for truncated edges; larger blocks use the
+    per-pixel kernel throughout. `chunk_dx` batches dx candidates per MXU
+    matmul in the fast kernel (default 4; larger overruns the 16 MB
+    scoped-VMEM limit at 2048-lane panels).
     """
     if cur.shape != ref.shape:
         raise ValueError(
@@ -233,43 +460,156 @@ def ssim_search_frame_pallas(
     return _ssim_frame_jit(
         cur, ref, blk_dim=blk_dim, span=span,
         tile=tile if tile is not None else 128, interpret=interpret,
+        chunk_dx=chunk_dx,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("blk_dim", "span", "tile", "interpret")
+    jax.jit,
+    static_argnames=("blk_dim", "span", "tile", "interpret", "chunk_dx"),
 )
-def _ssim_frame_jit(cur, ref, *, blk_dim, span, tile, interpret):
+def _ssim_frame_jit(cur, ref, *, blk_dim, span, tile, interpret, chunk_dx=4):
     frame_height, frame_width = cur.shape
     hp, wp = geometry.padded_dims(frame_height, frame_width, blk_dim)
     nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
 
-    stripe_unit = math.lcm(8, blk_dim)
-    tile_h = min(_round_up(hp, stripe_unit), _round_up(tile, stripe_unit))
+    use_fast = blk_dim <= 16
+    stripe_unit = 8 * blk_dim if use_fast else math.lcm(8, blk_dim)
+    # Round the target DOWN to the stripe unit (min one unit): rounding up
+    # inflates per-stripe VMEM past the 16 MB scoped limit (e.g. blk 7 →
+    # unit 56 → a 128 target must become 112, not 168).
+    tile_h = min(
+        _round_up(hp, stripe_unit),
+        max(stripe_unit, tile // stripe_unit * stripe_unit),
+    )
     hp2 = _round_up(hp, tile_h)
-    wp2 = _round_up(wp, 128)
+    halo_row_pad = _round_up(2 * span, 8)
+    dtype = jnp.float32 if use_fast else jnp.int32
+
+    # Column panels (as in the fast MSE driver) bound per-stripe VMEM:
+    # a full-width 4K stripe exceeds the 16 MB scoped-VMEM limit.
+    score_panels, idx_panels = [], []
+    for x0, pw in _panel_widths(wp, blk_dim):
+        halo_w = _round_up(pw + 2 * span, 128)
+        cur_p = _pad_slab(
+            cur, row_range=(0, frame_height), col_range=(x0, x0 + pw),
+            out_rows=hp2, out_cols=pw, offset_r=0, offset_c=0, dtype=dtype,
+        )
+        ref_p = _pad_slab(
+            ref,
+            row_range=(-span, hp2 + halo_row_pad - span),
+            col_range=(x0 - span, x0 - span + halo_w),
+            out_rows=hp2 + halo_row_pad, out_cols=halo_w,
+            offset_r=0, offset_c=0, dtype=dtype,
+        )
+        if use_fast:
+            s, i = _run_ssim_fast(
+                cur_p, ref_p, blk_dim=blk_dim, span=span,
+                frame_height=frame_height, frame_width=frame_width,
+                tile_h=tile_h, x_origin=x0,
+                chunk=chunk_dx if chunk_dx > 1 else 4,
+                interpret=interpret,
+            )
+        else:
+            s, i = _run_ssim(
+                cur_p, ref_p, blk_dim=blk_dim, span=span,
+                frame_height=frame_height, frame_width=frame_width,
+                tile_h=tile_h, x_origin=x0, interpret=interpret,
+            )
+        score_panels.append(s)
+        idx_panels.append(i)
+    score = jnp.concatenate(score_panels, axis=1)[:nby, :nbx]
+    idx = jnp.concatenate(idx_panels, axis=1)[:nby, :nbx]
+
+    if use_fast:
+        # Truncated edge blocks violate the fast kernel's uniform-box
+        # assumptions; recompute them with the exact per-pixel kernel on
+        # thin slabs and merge (same scheme as the fast MSE driver).
+        if frame_height % blk_dim:
+            e_s, e_i = _ssim_edge_bottom(
+                cur, ref, blk_dim=blk_dim, span=span, interpret=interpret
+            )
+            score = score.at[nby - 1, :].set(e_s[0, :nbx])
+            idx = idx.at[nby - 1, :].set(e_i[0, :nbx])
+        if frame_width % blk_dim:
+            e_s, e_i = _ssim_edge_right(
+                cur, ref, blk_dim=blk_dim, span=span, interpret=interpret
+            )
+            score = score.at[:, nbx - 1].set(e_s[:nby, 0])
+            idx = idx.at[:, nbx - 1].set(e_i[:nby, 0])
+
+    mv_y, mv_x = geometry.mv_from_flat_index(idx, span)
+    return fs.MotionField(mv_y, mv_x, idx, score)
+
+
+def _ssim_edge_bottom(cur, ref, *, blk_dim, span, interpret):
+    """Exact SSIM search for the last (truncated) block row: thin
+    horizontal slabs through the per-pixel kernel, panelled in columns
+    (the per-pixel kernel's candidate temporaries exceed the scoped-VMEM
+    limit on a full-width 4K slab)."""
+    frame_height, frame_width = cur.shape
+    nby, _ = geometry.grid_shape(frame_height, frame_width, blk_dim)
+    y_org = (nby - 1) * blk_dim
+    tile_h = math.lcm(8, blk_dim)
+    wp = _round_up(frame_width, blk_dim)
+    halo_row_pad = _round_up(2 * span, 8)
+    s_panels, i_panels = [], []
+    for x0, pw in _panel_widths(wp, blk_dim):
+        halo_w = _round_up(pw + 2 * span, 128)
+        cur_p = _pad_slab(
+            cur, row_range=(y_org, y_org + tile_h),
+            col_range=(x0, x0 + pw),
+            out_rows=tile_h, out_cols=pw, offset_r=0, offset_c=0,
+            dtype=jnp.int32,
+        )
+        ref_p = _pad_slab(
+            ref,
+            row_range=(y_org - span, y_org - span + tile_h + halo_row_pad),
+            col_range=(x0 - span, x0 - span + halo_w),
+            out_rows=tile_h + halo_row_pad, out_cols=halo_w,
+            offset_r=0, offset_c=0, dtype=jnp.int32,
+        )
+        s, i = _run_ssim(
+            cur_p, ref_p, blk_dim=blk_dim, span=span,
+            frame_height=frame_height, frame_width=frame_width,
+            tile_h=tile_h, x_origin=x0, y_origin=y_org,
+            interpret=interpret,
+        )
+        s_panels.append(s)
+        i_panels.append(i)
+    return (
+        jnp.concatenate(s_panels, axis=1),
+        jnp.concatenate(i_panels, axis=1),
+    )
+
+
+def _ssim_edge_right(cur, ref, *, blk_dim, span, interpret):
+    """Exact SSIM search for the last (truncated) block column: a narrow
+    full-height vertical slab through the per-pixel kernel."""
+    frame_height, frame_width = cur.shape
+    _, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
+    x_org = (nbx - 1) * blk_dim
+    unit = math.lcm(8, blk_dim)
+    tile_h = min(_round_up(_round_up(frame_height, blk_dim), unit),
+                 _round_up(128, unit))
+    hp2 = _round_up(_round_up(frame_height, blk_dim), tile_h)
+    wp2 = 128
     halo_w = _round_up(wp2 + 2 * span, 128)
     halo_row_pad = _round_up(2 * span, 8)
-
     cur_p = _pad_slab(
-        cur, row_range=(0, frame_height), col_range=(0, wp2),
+        cur, row_range=(0, hp2), col_range=(x_org, x_org + wp2),
         out_rows=hp2, out_cols=wp2, offset_r=0, offset_c=0,
         dtype=jnp.int32,
     )
     ref_p = _pad_slab(
         ref,
         row_range=(-span, hp2 + halo_row_pad - span),
-        col_range=(-span, halo_w - span),
+        col_range=(x_org - span, x_org - span + halo_w),
         out_rows=hp2 + halo_row_pad, out_cols=halo_w,
         offset_r=0, offset_c=0, dtype=jnp.int32,
     )
-    score_g, idx_g = _run_ssim(
-        cur_p, ref_p,
-        blk_dim=blk_dim, span=span,
+    return _run_ssim(
+        cur_p, ref_p, blk_dim=blk_dim, span=span,
         frame_height=frame_height, frame_width=frame_width,
-        tile_h=tile_h, interpret=interpret,
+        tile_h=tile_h, x_origin=x_org, y_origin=0, interpret=interpret,
     )
-    score = score_g[:nby, :nbx]
-    idx = idx_g[:nby, :nbx]
-    mv_y, mv_x = geometry.mv_from_flat_index(idx, span)
-    return fs.MotionField(mv_y, mv_x, idx, score)

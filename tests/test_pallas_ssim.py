@@ -27,6 +27,7 @@ def _random_pair(rng, h, w):
         (36, 52, 8, 5, 32),     # truncated edge blocks
         (48, 64, 16, 7, 32),
         (33, 45, 4, 3, 24),     # ragged, small blocks
+        (72, 96, 32, 4, 32),    # blk > 16: per-pixel exact kernel path
     ],
 )
 def test_ssim_pallas_matches_golden_random(h, w, blk, span, tile):
