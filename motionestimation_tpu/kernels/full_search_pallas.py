@@ -122,6 +122,7 @@ def _kernel_f32(
     cur_ref,          # [TH, W] f32, VMEM stripe
     cost_out,         # [nby_t, W] f32 block of [Hp2/b, W]
     idx_out,          # [nby_t, W] int32 block
+    vol_hbm,          # [k², Hp2/b, W] f32, HBM (emit_volume only; else tiny)
     win_ref,          # [halo_rows, halo_w] f32 scratch (rolled in place)
     s2_ref,           # [halo_rows, halo_w] f32 scratch (rolled in place)
     row_ref,          # [TH, halo_w] f32 scratch (rolled in place)
@@ -130,7 +131,9 @@ def _kernel_f32(
     bc_ref,           # [nby_t, W] f32 scratch (best cost)
     bi_ref,           # [nby_t, W] int32 scratch (best flat index)
     p_ref,            # [TH, chunk_dx*W] f32 scratch (chunk_dx mode only)
+    vbuf_ref,         # [2, nby_t, W] f32 scratch (emit_volume only)
     in_sem,
+    vol_sems,         # DMA sems (2,) (emit_volume only)
     *,
     blk_dim: int,
     span: int,
@@ -141,6 +144,7 @@ def _kernel_f32(
     x_origin: int,
     unroll_dx: bool = False,
     chunk_dx: int = 0,
+    emit_volume: bool = False,
 ):
     k = 2 * span + 1
     nby_t = tile_h // blk_dim
@@ -179,7 +183,8 @@ def _kernel_f32(
 
     def candidate(i, j, x, s2row_band):
         """Fold candidate (dy=i, dx=j): x = Σ cur·ref(d) per block,
-        s2row_band = Qref row band, both [nby_t, tile_w]."""
+        s2row_band = Qref row band, both [nby_t, tile_w]. Returns the
+        masked cost plane (for emit_volume)."""
         d_y = i - span
         d_x = j - span
         ok_y = (tl_y + d_y >= 0) & (tl_y + d_y <= frame_height - blk_dim)
@@ -191,6 +196,7 @@ def _kernel_f32(
         take = cand < bc_ref[:]  # strict < == first-raster-wins
         bc_ref[:] = jnp.where(take, cand, bc_ref[:])
         bi_ref[:] = jnp.where(take, i * k + j, bi_ref[:])
+        return cand
 
     if chunk_dx > 1:
         # Batch C candidates per MXU call: stage C shifted products side
@@ -203,6 +209,8 @@ def _kernel_f32(
         # p_ref holds TWO C-wide halves used alternately, so the VPU
         # product staging of group g+1 is independent of (and can overlap)
         # the MXU matmul reading group g.
+        vol_row = pl.program_id(0) * nby_t
+
         def dy_body(i, _):
             row_ref[:] = win_ref[0:tile_h, :]
             s2row_ref[:] = jax.lax.dot(
@@ -210,6 +218,7 @@ def _kernel_f32(
                 precision=lax.Precision.HIGHEST,
             )
             cur_v = cur_ref[:]
+            cc = 0  # static per-dy candidate counter (volume DMA slots)
             for g, c0 in enumerate(range(0, k, chunk_dx)):
                 n_t = min(chunk_dx, k - c0)
                 half = (g % 2) * chunk_dx * tile_w
@@ -227,12 +236,43 @@ def _kernel_f32(
                     axis=1,
                 )
                 for t in range(n_t):
-                    candidate(
+                    cand = candidate(
                         i, c0 + t,
                         x_all[:, t * tile_w : (t + 1) * tile_w],
                         s2row_ref[:, 0:tile_w],
                     )
                     s2row_ref[:] = pltpu.roll(s2row_ref[:], halo_w - 1, 1)
+                    if emit_volume:
+                        # Stream the masked cost plane to HBM through two
+                        # rotating buffers; waits are balanced within each
+                        # dy body (fori carries no DMA state).
+                        slot = cc % 2
+                        if cc >= 2:
+                            pltpu.make_async_copy(
+                                vbuf_ref.at[slot],
+                                vol_hbm.at[
+                                    i * k + (cc - 2),
+                                    pl.ds(vol_row, nby_t),
+                                    :,
+                                ],
+                                vol_sems.at[slot],
+                            ).wait()
+                        vbuf_ref[slot] = cand
+                        pltpu.make_async_copy(
+                            vbuf_ref.at[slot],
+                            vol_hbm.at[
+                                i * k + (c0 + t), pl.ds(vol_row, nby_t), :
+                            ],
+                            vol_sems.at[slot],
+                        ).start()
+                        cc += 1
+            if emit_volume:
+                for last in (k - 2, k - 1):
+                    pltpu.make_async_copy(
+                        vbuf_ref.at[last % 2],
+                        vol_hbm.at[i * k + last, pl.ds(vol_row, nby_t), :],
+                        vol_sems.at[last % 2],
+                    ).wait()
             win_ref[:] = pltpu.roll(win_ref[:], halo_rows - 1, 0)
             s2_ref[:] = pltpu.roll(s2_ref[:], halo_rows - 1, 0)
             return 0
@@ -573,7 +613,7 @@ def _run_int(
     static_argnames=(
         "blk_dim", "span", "frame_height", "frame_width",
         "tile_h", "x_origin", "interpret", "unroll_dx", "chunk_dx",
-        "operand_bf16",
+        "operand_bf16", "emit_volume",
     ),
 )
 def _run_f32(
@@ -590,13 +630,17 @@ def _run_f32(
     unroll_dx: bool = False,
     chunk_dx: int = 0,
     operand_bf16: bool = False,
+    emit_volume: bool = False,
 ):
     """Fast f32 search over a padded panel (interior blocks).
-    Returns block-grid (ssd_i32, idx)."""
+    Returns block-grid (ssd_i32, idx)[, cost volume [k², Hp2/b, W] f32]."""
     hp2, wp2 = cur_padded.shape
     nby_t = tile_h // blk_dim
     halo_rows = _round_up(tile_h + 2 * span, 8)
     halo_w = ref_padded.shape[1]
+    k = 2 * span + 1
+    if emit_volume and (operand_bf16 or chunk_dx <= 1):
+        raise ValueError("emit_volume requires the chunk_dx f32 kernel")
     if operand_bf16:
         chunk = chunk_dx if chunk_dx > 1 else 5
         kernel = functools.partial(
@@ -623,6 +667,7 @@ def _run_f32(
             blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
             frame_height=frame_height, frame_width=frame_width,
             x_origin=x_origin, unroll_dx=unroll_dx, chunk_dx=chunk_dx,
+            emit_volume=emit_volume,
         )
         scratch_shapes = [
             pltpu.VMEM((halo_rows, halo_w), jnp.float32),
@@ -638,30 +683,67 @@ def _run_f32(
                 else (8, 128),
                 jnp.float32,
             ),
+            pltpu.VMEM(
+                (2, nby_t, wp2) if emit_volume else (1, 8, 128),
+                jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ]
-    cost_px, idx_px = pl.pallas_call(
-        kernel,
-        grid=(hp2 // tile_h,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((tile_h, wp2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((nby_t, wp2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nby_t, wp2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.float32),
-            jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.int32),
-        ],
-        scratch_shapes=scratch_shapes,
-        interpret=interpret,
-    )(ref_padded, cur_padded)
+    if operand_bf16:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(hp2 // tile_h,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((tile_h, wp2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nby_t, wp2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nby_t, wp2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.float32),
+                jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.int32),
+            ],
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(ref_padded, cur_padded)
+        cost_px, idx_px = outs
+        vol = None
+    else:
+        vol_shape = (
+            (k * k, hp2 // blk_dim, wp2) if emit_volume else (1, 1, 128)
+        )
+        cost_px, idx_px, vol = pl.pallas_call(
+            kernel,
+            grid=(hp2 // tile_h,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((tile_h, wp2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nby_t, wp2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nby_t, wp2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.float32),
+                jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.int32),
+                jax.ShapeDtypeStruct(vol_shape, jnp.float32),
+            ],
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(ref_padded, cur_padded)
     ssd = cost_px[:, ::blk_dim].astype(jnp.int32)  # exact: integers < 2²⁴
+    if emit_volume:
+        return ssd, idx_px[:, ::blk_dim], vol
     return ssd, idx_px[:, ::blk_dim]
 
 
@@ -825,6 +907,114 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
     )
     score = cost_lib.mse_from_ssd(ssd, blk_h * blk_w)
     return fs.MotionField(mv_y, mv_x, ssd, score)
+
+
+def full_search_volume_pallas(
+    cur,
+    ref,
+    *,
+    blk_dim: int,
+    span: int,
+    tile: int | None = None,
+    interpret: bool | None = None,
+    chunk_dx: int = 5,
+):
+    """Full [K², nby, nbx] int32 SSD cost volume via the fast Pallas kernel.
+
+    Bit-exact (for valid candidates) vs the golden
+    `full_search_tile(return_cost_volume=True)`; invalid displacements
+    hold a sentinel larger than any SSD. Truncated edge blocks are
+    recomputed with the golden tile on thin slabs. blk_dim <= 16 only.
+
+    The consumer is diamond search (search/diamond.py): on TPU the full
+    volume is bandwidth-cheap to materialise while per-block sparse
+    window evaluation is gather-bound, so diamond replays its trajectory
+    over this volume.
+    """
+    if blk_dim > 16:
+        raise ValueError("full_search_volume_pallas requires blk_dim <= 16")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _full_search_volume_jit(
+        cur, ref, blk_dim=blk_dim, span=span,
+        tile=tile if tile is not None else 128, interpret=interpret,
+        chunk_dx=chunk_dx if chunk_dx > 1 else 5,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blk_dim", "span", "tile", "interpret", "chunk_dx"),
+)
+def _full_search_volume_jit(cur, ref, *, blk_dim, span, tile, interpret,
+                            chunk_dx):
+    frame_height, frame_width = cur.shape
+    hp, wp = geometry.padded_dims(frame_height, frame_width, blk_dim)
+    nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
+    k = 2 * span + 1
+
+    stripe_unit = 8 * blk_dim
+    tile_h = min(
+        _round_up(hp, stripe_unit),
+        max(stripe_unit, tile // stripe_unit * stripe_unit),
+    )
+    hp2 = _round_up(hp, tile_h)
+    halo_row_pad = _round_up(2 * span, 8)
+
+    panels = []
+    for x0, pw in _panel_widths(wp, blk_dim):
+        halo_w = _round_up(pw + 2 * span, 128)
+        cur_p = _pad_slab(
+            cur, row_range=(0, frame_height), col_range=(x0, x0 + pw),
+            out_rows=hp2, out_cols=pw, offset_r=0, offset_c=0,
+            dtype=jnp.float32,
+        )
+        ref_p = _pad_slab(
+            ref,
+            row_range=(-span, hp2 + halo_row_pad - span),
+            col_range=(x0 - span, x0 - span + halo_w),
+            out_rows=hp2 + halo_row_pad, out_cols=halo_w,
+            offset_r=0, offset_c=0, dtype=jnp.float32,
+        )
+        _, _, vol = _run_f32(
+            cur_p, ref_p,
+            blk_dim=blk_dim, span=span,
+            frame_height=frame_height, frame_width=frame_width,
+            tile_h=tile_h, x_origin=x0, interpret=interpret,
+            chunk_dx=chunk_dx, emit_volume=True,
+        )
+        panels.append(vol[:, :nby, ::blk_dim][:, :, : pw // blk_dim])
+    volume = jnp.concatenate(panels, axis=2)[:, :, :nbx].astype(jnp.int32)
+
+    # Truncated edge blocks: golden-tile volumes on thin slabs.
+    if frame_height % blk_dim or frame_width % blk_dim:
+        cur_pad = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
+        ref_halo = fs.make_ref_halo(
+            ref, frame_height, frame_width, blk_dim, span
+        )
+        if frame_height % blk_dim:
+            y_org = (nby - 1) * blk_dim
+            _, v = fs.full_search_tile(
+                cur_pad[y_org : y_org + blk_dim, :],
+                ref_halo[y_org : y_org + blk_dim + 2 * span, :],
+                y_org, 0,
+                frame_height=frame_height, frame_width=frame_width,
+                blk_dim=blk_dim, span=span, metric="mse",
+                return_cost_volume=True,
+            )
+            volume = volume.at[:, nby - 1, :].set(v[:, 0, :])
+        if frame_width % blk_dim:
+            x_org = (nbx - 1) * blk_dim
+            _, v = fs.full_search_tile(
+                cur_pad[:, x_org : x_org + blk_dim],
+                ref_halo[:, x_org : x_org + blk_dim + 2 * span],
+                0, x_org,
+                frame_height=frame_height, frame_width=frame_width,
+                blk_dim=blk_dim, span=span, metric="mse",
+                return_cost_volume=True,
+            )
+            volume = volume.at[:, :, nbx - 1].set(v[:, :, 0])
+    return volume
 
 
 def _edge_slab_bottom(cur, ref, *, blk_dim, span, interpret):

@@ -196,9 +196,8 @@ def diamond_search_np(
         "record_trajectory", "frame_height", "frame_width",
     ),
 )
-def _diamond_tile(
-    cur_p,
-    ref_halo,
+def _diamond_replay(
+    volume,
     *,
     blk_dim: int,
     span: int,
@@ -209,91 +208,86 @@ def _diamond_tile(
     frame_height: int,
     frame_width: int,
 ):
-    hp, wp = cur_p.shape
-    nby, nbx = hp // blk_dim, wp // blk_dim
+    """Replay the canonical diamond trajectory over a [K², nby, nbx] cost
+    volume.
+
+    TPU-shaped evaluation: the volume is materialised ONCE (Pallas fast
+    kernel for MSE blk<=16, else a bandwidth-bound XLA scan — exactly the
+    costs the canonical model computes, sentinel-masked for invalid
+    displacements), then the trajectory is replayed with volume lookups.
+    Per-block data-dependent *windows* (the natural formulation) need
+    whole-frame gathers, and XLA:TPU lowers arbitrary gathers near-scalar
+    — measured ~31 ms per candidate evaluation at 1080p (~7.7 s/frame);
+    the volume replay runs the same frame in tens of milliseconds.
+    Lookups avoid gathers too: a one-hot of the center index once per
+    step, multiplied against *statically* shifted volume slices (pattern
+    offsets are compile-time constants)."""
+    _, nby, nbx = volume.shape
     minimise = metric == "mse"
+    k = 2 * span + 1
 
     tl_y, tl_x, blk_h, blk_w = geometry.block_extents(
         0, 0, nby, nbx, blk_dim, frame_height, frame_width
     )
     count = blk_h * blk_w
 
-    # Pixelwise in-frame mask + masked current frame, [hp, wp]. Candidate
-    # windows are materialised with ONE whole-frame gather per candidate
-    # (`ref_halo[p + d(block(p))]`, the compensate_tile pattern) and reduced
-    # per block — nested per-block dynamic_slice vmaps look natural but
-    # make XLA:TPU compile blow up (>5 min for CIF; the gather form is
-    # seconds).
-    iy = jnp.arange(hp, dtype=jnp.int32)[:, None]
-    ix = jnp.arange(wp, dtype=jnp.int32)[None, :]
-    pix_mask = ((iy < frame_height) & (ix < frame_width)).astype(jnp.int32)
-    cur_m = cur_p.astype(jnp.int32) * pix_mask
-    ref_halo = ref_halo.astype(jnp.int32)
-    by = iy // blk_dim
-    bx = ix // blk_dim
+    if minimise:
+        sentinel = jnp.int32(cost_lib.INT32_MAX)
+        zero = jnp.int32(0)
+    else:
+        sentinel = jnp.float32(-jnp.inf)
+        zero = jnp.float32(0)
+    # Pad the flat candidate axis so statically shifted lookups land on
+    # sentinels when an offset steps outside the window vertically.
+    pad = 2 * k + 2  # >= max |oy*k + ox| over LDSP/SDSP
+    vol_p = jnp.pad(
+        volume, ((pad, pad), (0, 0), (0, 0)), constant_values=sentinel
+    )
 
-    if not minimise:
-        sum_cur = cost_lib.block_reduce(cur_m, blk_dim)
-        sum_sq_cur = cost_lib.block_reduce(cur_m * cur_m, blk_dim)
-
-    def window_frame(d_y, d_x):
-        """[hp, wp] mosaic of candidate windows: pixel p gets
-        ref[p + d(block(p))] from the span-padded halo."""
-        dyp = d_y[by, bx]
-        dxp = d_x[by, bx]
-        return ref_halo[span + iy + dyp, span + ix + dxp]
+    def pattern_costs(cy, cx, offsets):
+        """Costs of center+offset per block, one [nby, nbx] array per
+        offset; out-of-window lookups yield the sentinel."""
+        flat = (cy + span) * k + (cx + span)
+        onehot = (
+            lax.broadcasted_iota(jnp.int32, (k * k, nby, nbx), 0)
+            == flat[None]
+        )
+        outs = []
+        for o_y, o_x in offsets:
+            delta = o_y * k + o_x
+            v = lax.slice_in_dim(
+                vol_p, pad + delta, pad + delta + k * k, axis=0
+            )
+            c = jnp.sum(jnp.where(onehot, v, zero), axis=0)
+            # A horizontal step off the window edge aliases the flat index
+            # into the adjacent dy row — mask it (vertical misses fall in
+            # the sentinel padding already, but mask uniformly).
+            ok = (jnp.abs(cy + o_y) <= span) & (jnp.abs(cx + o_x) <= span)
+            outs.append(jnp.where(ok, c, sentinel))
+        return outs
 
     def cand_cost(d_y, d_x):
-        """[nby, nbx] cost of per-block displacement; invalid -> +-sentinel."""
-        valid = (
-            geometry.displacement_valid(
-                d_y, d_x, tl_y, tl_x, blk_h, blk_w,
-                frame_height, frame_width,
-            )
-            & (jnp.abs(d_y) <= span)
-            & (jnp.abs(d_x) <= span)
-        )
-        win = window_frame(d_y, d_x) * pix_mask
-        if minimise:
-            diff = cur_m - win
-            ssd = cost_lib.block_reduce(diff * diff, blk_dim)
-            return jnp.where(valid, ssd, cost_lib.INT32_MAX)
-        sum_ref = cost_lib.block_reduce(win, blk_dim)
-        sum_sq_ref = cost_lib.block_reduce(win * win, blk_dim)
-        sum_cross = cost_lib.block_reduce(win * cur_m, blk_dim)
-        score = cost_lib.ssim_from_sums(
-            sum_ref, sum_sq_ref, sum_cur, sum_sq_cur, sum_cross, count
-        )
-        return jnp.where(valid, score, -jnp.inf)
+        """[nby, nbx] cost of a per-block displacement (volume lookup)."""
+        return pattern_costs(d_y, d_x, ((0, 0),))[0]
 
     def better(c, best):
         return (c < best) if minimise else (c > best)
 
     def pattern_step(cy, cx, ccost, offsets):
         """Evaluate a diamond pattern; returns winning (offset, cost) per
-        block — (0,0) with ccost when nothing beats the center.
-
-        lax.scan over the offset list (not a Python unroll): one traced
-        cand_cost in the program instead of |pattern|, which cuts XLA:TPU
-        compile time several-fold. Scan order = list order, so strict
-        comparison keeps first-in-order-wins ties.
-        """
-        offs = jnp.asarray(
-            [o for o in offsets if o != (0, 0)], jnp.int32
-        )  # center is the incumbent
-
-        def body(carry, o):
-            wy, wx, wc = carry
-            c = cand_cost(cy + o[0], cx + o[1])
+        block — (0,0) with ccost when nothing beats the center. Evaluation
+        order = list order, so strict comparison keeps
+        first-in-order-wins ties."""
+        offs = [o for o in offsets if o != (0, 0)]  # center is incumbent
+        costs = pattern_costs(cy, cx, offs)
+        wy = jnp.zeros_like(cy)
+        wx = jnp.zeros_like(cx)
+        wc = ccost
+        for (o_y, o_x), c in zip(offs, costs):
             take = better(c, wc)
-            wy = jnp.where(take, o[0], wy)
-            wx = jnp.where(take, o[1], wx)
+            wy = jnp.where(take, o_y, wy)
+            wx = jnp.where(take, o_x, wx)
             wc = jnp.where(take, c, wc)
-            return (wy, wx, wc), None
-
-        (wy, wx, wc), _ = lax.scan(
-            body, (jnp.zeros_like(cy), jnp.zeros_like(cx), ccost), offs
-        )
         return wy, wx, wc
 
     def early_mask(ccost):
@@ -383,12 +377,25 @@ def diamond_search_frame(
     frame_height, frame_width = cur.shape
     if max_steps is None:
         max_steps = default_max_steps(span)
-    cur_p = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
-    ref_halo = fs.make_ref_halo(
-        ref, frame_height, frame_width, blk_dim, span
-    )
-    field, traj = _diamond_tile(
-        cur_p, ref_halo,
+    if metric == "mse" and blk_dim <= 16:
+        # Fast Pallas cost volume (bit-exact vs the golden tile's).
+        from motionestimation_tpu.kernels import full_search_pallas as ker
+
+        volume = ker.full_search_volume_pallas(
+            cur, ref, blk_dim=blk_dim, span=span
+        )
+    else:
+        cur_p = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
+        ref_halo = fs.make_ref_halo(
+            ref, frame_height, frame_width, blk_dim, span
+        )
+        _, volume = _golden_volume_jit(
+            cur_p, ref_halo,
+            blk_dim=blk_dim, span=span, metric=metric,
+            frame_height=frame_height, frame_width=frame_width,
+        )
+    field, traj = _diamond_replay(
+        volume,
         blk_dim=blk_dim, span=span, metric=metric,
         early_term=early_term, max_steps=max_steps,
         record_trajectory=record_trajectory,
@@ -397,3 +404,19 @@ def diamond_search_frame(
     if record_trajectory:
         return field, traj
     return field
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "blk_dim", "span", "metric", "frame_height", "frame_width"
+    ),
+)
+def _golden_volume_jit(cur_p, ref_halo, *, blk_dim, span, metric,
+                       frame_height, frame_width):
+    return fs.full_search_tile(
+        cur_p, ref_halo, 0, 0,
+        frame_height=frame_height, frame_width=frame_width,
+        blk_dim=blk_dim, span=span, metric=metric,
+        return_cost_volume=True,
+    )

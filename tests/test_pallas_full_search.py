@@ -104,6 +104,38 @@ def test_pallas_roll_mode_matches_golden(h, w, blk, span):
 
 
 @pytest.mark.parametrize(
+    "h,w,blk,span", [(64, 64, 8, 4), (36, 52, 8, 5), (61, 75, 8, 5)]
+)
+def test_pallas_volume_matches_golden(h, w, blk, span):
+    """emit_volume cost volumes: bit-exact SSDs for valid candidates,
+    never-winning sentinels for invalid ones (incl. truncated edges)."""
+    import jax.numpy as jnp
+    from motionestimation_tpu.kernels.full_search_pallas import (
+        full_search_volume_pallas,
+    )
+    from motionestimation_tpu.metrics import cost as cost_lib
+
+    rng = np.random.default_rng(h * 5 + w + blk)
+    cur, ref = _random_pair(rng, h, w)
+    vol = np.asarray(
+        full_search_volume_pallas(
+            jnp.asarray(cur), jnp.asarray(ref), blk_dim=blk, span=span,
+            interpret=True,
+        )
+    )
+    cur_p = fs.pad_cur_frame(jnp.asarray(cur), h, w, blk)
+    halo = fs.make_ref_halo(jnp.asarray(ref), h, w, blk, span)
+    _, golden = fs.full_search_tile(
+        cur_p, halo, 0, 0, frame_height=h, frame_width=w,
+        blk_dim=blk, span=span, metric="mse", return_cost_volume=True,
+    )
+    golden = np.asarray(golden)
+    valid = golden != cost_lib.INT32_MAX
+    np.testing.assert_array_equal(vol[valid], golden[valid])
+    assert (vol[~valid] > 255**2 * blk * blk).all()
+
+
+@pytest.mark.parametrize(
     "h,w,blk,span,chunk",
     [(64, 64, 8, 4, 3), (36, 52, 8, 5, 5), (48, 64, 16, 7, 4)],
 )
