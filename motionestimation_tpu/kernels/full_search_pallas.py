@@ -457,6 +457,218 @@ def _kernel_f32_bf16(
     idx_out[:] = bi_ref[:]
 
 
+def _kernel_f32_wide(
+    ref_hbm,          # [rows, halo_w] f32, HBM: span-padded reference panel
+    cur_ref,          # [TH, W] f32, VMEM stripe
+    cost_out,         # [nby_t, W] int32 block of [Hp2/b, W]
+    idx_out,          # [nby_t, W] int32 block
+    win_ref,          # [halo_rows, halo_w] f32 scratch (rolled per dy)
+    s2_ref,           # [halo_rows, halo_w] f32 scratch: part-row Qref sums
+    row_ref,          # [TH, halo_w] f32 scratch (rolled per dx)
+    s2row_ref,        # [nby_t, halo_w] int32 scratch (rolled per dx)
+    qcur_ref,         # [nby_t, W] int32 scratch
+    bc_ref,           # [nby_t, W] int32 scratch (best cost)
+    bi_ref,           # [nby_t, W] int32 scratch (best flat index)
+    p_ref,            # [TH, 2*chunk*W] f32 scratch (product staging)
+    in_sem,
+    *,
+    blk_dim: int,
+    span: int,
+    tile_h: int,
+    tile_w: int,
+    frame_height: int,
+    frame_width: int,
+    x_origin: int,
+    chunk: int,
+):
+    """Fast search for wide blocks (blk_dim in {24, 32}, interior blocks).
+
+    Same MXU machinery as the chunked `_kernel_f32`, but a 32-wide block's
+    SSD terms reach 255²·32² ≈ 2²⁶ — past exact-f32 range. Split each
+    block into `parts` 8-row slabs: every partial sum (products ≤ 255²,
+    8-row matmul compaction ≤ 255²·8, lane sliding sum of width blk_dim
+    ≤ 255²·8·32 < 2²⁴) stays f32-exact, and the parts are accumulated in
+    int32. Costs, compares, and outputs are int32 — bit-exact vs the
+    golden path and the exact per-pixel kernel."""
+    k = 2 * span + 1
+    q = 8  # part rows: 255²·8·blk_dim < 2²⁴ for blk_dim <= 32
+    parts = blk_dim // q
+    nby_t = tile_h // blk_dim
+    m = parts * nby_t
+    y0 = pl.program_id(0) * tile_h
+    halo_rows = win_ref.shape[0]
+    halo_w = win_ref.shape[1]
+
+    copy_in = pltpu.make_async_copy(
+        ref_hbm.at[pl.ds(y0, halo_rows), :], win_ref, in_sem
+    )
+    copy_in.start()
+
+    # Part-row selectors: matmul row p*nby_t + r covers block-row r's
+    # 8-row slab p (sum) / its first row (pick).
+    rr = lax.broadcasted_iota(jnp.int32, (m, tile_h), 0)
+    yy = lax.broadcasted_iota(jnp.int32, (m, tile_h), 1)
+    top = (rr % nby_t) * blk_dim + (rr // nby_t) * q
+    sel_sum = ((yy >= top) & (yy < top + q)).astype(jnp.float32)
+    sel_pick = (yy == top).astype(jnp.float32)
+
+    tl_y = y0 + lax.broadcasted_iota(jnp.int32, (nby_t, 1), 0) * blk_dim
+    tl_x = x_origin + lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
+
+    def part_sum_i32(x_m):
+        """[m, n] f32 exact part sums -> [nby_t, n] int32 block sums."""
+        acc = x_m[0:nby_t, :].astype(jnp.int32)
+        for p in range(1, parts):
+            acc = acc + x_m[p * nby_t : (p + 1) * nby_t, :].astype(
+                jnp.int32
+            )
+        return acc
+
+    cur = cur_ref[:]
+    qcur_ref[:] = part_sum_i32(
+        _sliding_sums(
+            jax.lax.dot(
+                sel_sum, cur * cur, precision=lax.Precision.HIGHEST
+            ),
+            blk_dim,
+            axis=1,
+        )
+    )
+    bc_ref[:] = jnp.full((nby_t, tile_w), cost_lib.INT32_MAX, jnp.int32)
+    bi_ref[:] = jnp.full((nby_t, tile_w), span * k + span, jnp.int32)
+
+    copy_in.wait()
+    win0 = win_ref[:]
+    # Qref part pyramid: 8-row column sums (≤ 255²·8, f32-exact), then a
+    # blk-wide lane sliding sum (≤ 255²·8·blk < 2²⁴, f32-exact). The
+    # 4 parts of a block's Qref are rows y+8p, summed per dy in int32.
+    s2_ref[:] = _sliding_sums(
+        _sliding_sums(win0 * win0, q, axis=0), blk_dim, axis=1
+    )
+
+    def candidate(i, j, x_int):
+        d_y = i - span
+        d_x = j - span
+        ok_y = (tl_y + d_y >= 0) & (tl_y + d_y <= frame_height - blk_dim)
+        ok_x = (tl_x + d_x >= 0) & (tl_x + d_x <= frame_width - blk_dim)
+        ssd = (qcur_ref[:] - x_int) + (s2row_ref[:, 0:tile_w] - x_int)
+        cand = jnp.where(ok_y & ok_x, ssd, cost_lib.INT32_MAX)
+        take = cand < bc_ref[:]  # strict < == first-raster-wins
+        bc_ref[:] = jnp.where(take, cand, bc_ref[:])
+        bi_ref[:] = jnp.where(take, i * k + j, bi_ref[:])
+
+    def dy_body(i, _):
+        row_ref[:] = win_ref[0:tile_h, :]
+        s2row_ref[:] = part_sum_i32(
+            jax.lax.dot(
+                sel_pick, s2_ref[0:tile_h, :],
+                precision=lax.Precision.HIGHEST,
+            )
+        )
+        cur_v = cur_ref[:]
+        for g, c0 in enumerate(range(0, k, chunk)):
+            n_t = min(chunk, k - c0)
+            half = (g % 2) * chunk * tile_w
+            for t in range(n_t):
+                p_ref[
+                    :, half + t * tile_w : half + (t + 1) * tile_w
+                ] = cur_v * row_ref[:, 0:tile_w].astype(jnp.float32)
+                row_ref[:] = pltpu.roll(row_ref[:], halo_w - 1, 1)
+            x_all = _sliding_sums(
+                jax.lax.dot(
+                    sel_sum, p_ref[:, half : half + n_t * tile_w],
+                    precision=lax.Precision.HIGHEST,
+                ),
+                blk_dim,
+                axis=1,
+            )
+            for t in range(n_t):
+                x_int = part_sum_i32(
+                    x_all[:, t * tile_w : (t + 1) * tile_w]
+                )
+                candidate(i, c0 + t, x_int)
+                s2row_ref[:] = pltpu.roll(s2row_ref[:], halo_w - 1, 1)
+        win_ref[:] = pltpu.roll(win_ref[:], halo_rows - 1, 0)
+        s2_ref[:] = pltpu.roll(s2_ref[:], halo_rows - 1, 0)
+        return 0
+
+    lax.fori_loop(0, k, dy_body, 0)
+    cost_out[0, :, :] = bc_ref[:]
+    idx_out[0, :, :] = bi_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "blk_dim", "span", "frame_height", "frame_width",
+        "tile_h", "x_origin", "chunk", "interpret",
+    ),
+)
+def _run_f32_wide(
+    cur_padded,
+    ref_padded,
+    *,
+    blk_dim: int,
+    span: int,
+    frame_height: int,
+    frame_width: int,
+    tile_h: int,
+    x_origin: int,
+    chunk: int,
+    interpret: bool,
+):
+    """Fast wide-block search over a padded f32 panel (interior blocks).
+    Returns block-grid (ssd_i32, idx)."""
+    hp2, wp2 = cur_padded.shape
+    nby_t = tile_h // blk_dim
+    halo_rows = _round_up(tile_h + 2 * span, 8)
+    halo_w = ref_padded.shape[1]
+    kernel = functools.partial(
+        _kernel_f32_wide,
+        blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
+        frame_height=frame_height, frame_width=frame_width,
+        x_origin=x_origin, chunk=chunk,
+    )
+    n_stripes = hp2 // tile_h
+    # Outputs are 3-D [stripe, nby_t, W] with block (1, nby_t, W): nby_t
+    # (e.g. 4 block rows per stripe at blk 32) is smaller than the 8-row
+    # sublane tile, which a 2-D block spec would reject.
+    cost_px, idx_px = pl.pallas_call(
+        kernel,
+        grid=(n_stripes,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_h, wp2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nby_t, wp2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nby_t, wp2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_stripes, nby_t, wp2), jnp.int32),
+            jax.ShapeDtypeStruct((n_stripes, nby_t, wp2), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+            pltpu.VMEM((tile_h, halo_w), jnp.float32),
+            pltpu.VMEM((nby_t, halo_w), jnp.int32),
+            pltpu.VMEM((nby_t, wp2), jnp.int32),
+            pltpu.VMEM((nby_t, wp2), jnp.int32),
+            pltpu.VMEM((nby_t, wp2), jnp.int32),
+            pltpu.VMEM((tile_h, 2 * chunk * wp2), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(ref_padded, cur_padded)
+    cost_px = cost_px.reshape(n_stripes * nby_t, wp2)
+    idx_px = idx_px.reshape(n_stripes * nby_t, wp2)
+    return cost_px[:, ::blk_dim], idx_px[:, ::blk_dim]
+
+
 def _kernel_int(
     ref_hbm,          # [rows, halo_w] int32, HBM
     cur_ref,          # [TH, W] int32, VMEM stripe
@@ -837,7 +1049,14 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
     nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
 
     use_f32 = blk_dim <= 16
-    stripe_unit = 8 * blk_dim if use_f32 else math.lcm(8, blk_dim)
+    use_wide = not use_f32 and blk_dim <= 32 and blk_dim % 8 == 0
+    fast = use_f32 or use_wide
+    if use_f32:
+        stripe_unit = 8 * blk_dim
+    elif use_wide:
+        stripe_unit = blk_dim
+    else:
+        stripe_unit = math.lcm(8, blk_dim)
     # Round the target DOWN to the stripe unit (min one unit): rounding up
     # inflates per-stripe VMEM past the 16 MB scoped limit (e.g. blk 7 →
     # unit 56 → a 128 target must become 112, not 168).
@@ -849,10 +1068,15 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
     # must match _run_f32/_run_int's halo_rows rounding
     halo_row_pad = _round_up(2 * span, 8)
 
-    run = _run_f32 if use_f32 else _run_int
+    if use_f32:
+        run = _run_f32
+    elif use_wide:
+        run = _run_f32_wide
+    else:
+        run = _run_int
     # operand_bf16 panels stay f32: the bf16 staging happens inside the
     # kernel (Mosaic v5e cannot DMA bf16 with dynamic sublane offsets).
-    dtype = jnp.float32 if use_f32 else jnp.int32
+    dtype = jnp.float32 if fast else jnp.int32
 
     ssd_panels, idx_panels = [], []
     for x0, pw in _panel_widths(wp, blk_dim):
@@ -877,6 +1101,10 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
             kwargs["unroll_dx"] = unroll_dx
             kwargs["chunk_dx"] = chunk_dx
             kwargs["operand_bf16"] = operand_bf16
+        elif use_wide:
+            # chunk 4 keeps 2*C product halves under the scoped-VMEM limit
+            # at 2048-lane panels with the wider halo pyramids.
+            kwargs["chunk"] = min(4, chunk_dx) if chunk_dx > 1 else 4
         else:
             kwargs["y_origin"] = 0
         s, i = run(cur_p, ref_p, **kwargs)
@@ -885,7 +1113,7 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
     ssd = jnp.concatenate(ssd_panels, axis=1)[:nby, :nbx]
     idx = jnp.concatenate(idx_panels, axis=1)[:nby, :nbx]
 
-    if use_f32:
+    if fast:
         # Truncated edge blocks violate the fast kernel's uniform-box Qref;
         # recompute them exactly on thin slabs and merge.
         if frame_height % blk_dim:

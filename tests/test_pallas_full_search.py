@@ -90,6 +90,25 @@ def test_pallas_unroll_dx_matches_golden(h, w, blk, span):
     _assert_fields_equal(pallas, golden)
 
 
+@pytest.mark.parametrize(
+    "h,w,blk,span",
+    [
+        (96, 128, 32, 8),     # wide-block fast kernel (part-row int32)
+        (100, 130, 32, 5),    # truncated edges
+        (96, 120, 24, 7),     # blk 24
+    ],
+)
+def test_pallas_wide_block_matches_golden(h, w, blk, span):
+    """blk 24/32 route through the part-row f32+int32 fast kernel."""
+    rng = np.random.default_rng(h + w * 11 + blk)
+    cur, ref = _random_pair(rng, h, w)
+    golden = fs.full_search_frame(cur, ref, blk_dim=blk, span=span, metric="mse")
+    pallas = full_search_frame_pallas(
+        cur, ref, blk_dim=blk, span=span, tile=64, interpret=True
+    )
+    _assert_fields_equal(pallas, golden)
+
+
 @pytest.mark.parametrize("h,w,blk,span", [(64, 64, 8, 4), (36, 52, 8, 5)])
 def test_pallas_roll_mode_matches_golden(h, w, blk, span):
     """chunk_dx=0 selects the unchunked roll-by-one kernel; bit-exact."""
