@@ -82,6 +82,35 @@ def main():
     blocks = (H // BLK) * (W // BLK)
     mblocks_s = blocks / (ms_per_frame * 1e-3) / 1e6
 
+    # North-star config (BASELINE.json): 16x16 full search +-15.
+    def ns_time(h, w, blk, span):
+        @jax.jit
+        def run(curs, refs):
+            def one(cr):
+                f = _full_search_frame_jit(
+                    cr[0][:h, :w], cr[1][:h, :w], blk_dim=blk, span=span,
+                    tile=128, interpret=interpret,
+                )
+                return (
+                    jnp.sum(f.best_cost_i32)
+                    + jnp.sum(f.mv_y)
+                    + jnp.sum(f.mv_x)
+                )
+
+            return jnp.sum(jax.lax.map(one, (curs, refs)))
+
+        int(run(cd, rd))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(run(cd, rd))
+            ts.append((time.perf_counter() - t0) / BATCH)
+        return float(np.median(ts) * 1e3)
+
+    ns_4k = ns_time(2160, 3840, 16, 15)
+    ns_1080 = ns_time(1080, 1920, 16, 15)
+    ns_blocks_4k = (2160 // 16) * (3840 // 16)
+
     print(
         json.dumps(
             {
@@ -92,6 +121,11 @@ def main():
                 "vs_baseline": round(BASELINE_KERNEL_MS / ms_per_frame, 3),
                 "ms_per_frame": round(ms_per_frame, 3),
                 "fps_4k": round(1e3 / ms_per_frame, 2),
+                "north_star_16x16_s15_mblocks_s": round(
+                    ns_blocks_4k / ns_4k / 1e3, 3
+                ),
+                "north_star_fps_4k": round(1e3 / ns_4k, 2),
+                "north_star_fps_1080p": round(1e3 / ns_1080, 2),
             }
         )
     )
