@@ -44,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("span", nargs="?", type=int, default=12)
     p.add_argument("frame_width", nargs="?", type=int, default=352)
     p.add_argument("frame_height", nargs="?", type=int, default=288)
-    p.add_argument("--metric", choices=("mse", "ssim"), default="mse")
+    p.add_argument("--metric", choices=("mse", "sad", "ssim"), default="mse")
     p.add_argument(
         "--algorithm", choices=("full", "diamond"), default="full"
     )
@@ -147,7 +147,7 @@ def main(argv=None) -> int:
     if args.debug_block:
         _print_debug_block(cur, ref, config, *args.debug_block)
 
-    if config.metric == "mse":
+    if config.metric in ("mse", "sad"):
         print(f"PSNR: {res.psnr:.6f}")
     else:
         print(
@@ -161,7 +161,7 @@ def main(argv=None) -> int:
             f"Output file dimensions: ({config.frame_width} x "
             f"{5 * config.frame_height})"
         )
-    if config.metric == "mse":
+    if config.metric in ("mse", "sad"):
         print(f"Computation time: {res.kernel_ms:.0f} ms")
         print(f"PSNR: {res.psnr:.0f} ")
     if args.timing_row:

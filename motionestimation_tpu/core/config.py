@@ -20,7 +20,10 @@ class SearchConfig:
         16 for SSIM; main.c:117, main_ssim.c:40).
       span: "extraSpan" — search window extends ±span pixels beyond the
         block on every side, clamped to the frame (main.c:73-76).
-      metric: "mse" (SSD/N, minimised) or "ssim" (maximised).
+      metric: "mse" (SSD/N, minimised), "sad" (integer Σ|diff|, minimised;
+        the BASELINE.json north-star cost — no reference driver exists, so
+        the canonical semantics mirror the MSE driver's scan and tie rules
+        with the SAD cost), or "ssim" (maximised).
       algorithm: "full" (exhaustive raster scan — the reference's only
         algorithm) or "diamond" (LDSP/SDSP with early termination — new,
         required by BASELINE.json configs).
@@ -39,8 +42,10 @@ class SearchConfig:
             raise ValueError(f"blk_dim must be >= 1, got {self.blk_dim}")
         if self.span < 0:
             raise ValueError(f"span must be >= 0, got {self.span}")
-        if self.metric not in ("mse", "ssim"):
-            raise ValueError(f"metric must be 'mse' or 'ssim', got {self.metric!r}")
+        if self.metric not in ("mse", "sad", "ssim"):
+            raise ValueError(
+                f"metric must be 'mse', 'sad' or 'ssim', got {self.metric!r}"
+            )
         if self.algorithm not in ("full", "diamond"):
             raise ValueError(
                 f"algorithm must be 'full' or 'diamond', got {self.algorithm!r}"

@@ -46,6 +46,20 @@ def mse_from_ssd(ssd, count):
     return ssd.astype(jnp.float32) / denom
 
 
+def mad_from_sad(sad, count):
+    """Mean absolute difference = SAD / (w*h) in float32.
+
+    The SAD metric itself is the exact integer Σ|cur-ref| (the bit-exact
+    quantity BASELINE.json's north star demands); this derived mean is the
+    reported score, mirroring how MSE relates to SSD (main.c:27). The
+    reference has no SAD driver, so the canonical semantics are defined
+    here: same raster scan, same strict-< first-wins tie rule as MSE
+    (main.c:53-60), cost = integer SAD.
+    """
+    denom = jnp.maximum(count, 1).astype(jnp.float32)
+    return sad.astype(jnp.float32) / denom
+
+
 def ssim_from_sums(sum_ref, sum_sq_ref, sum_cur, sum_sq_cur, sum_cross, count):
     """SSIM score from exact integer block sums (ssim.c:44-60).
 

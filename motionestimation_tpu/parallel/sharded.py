@@ -128,7 +128,7 @@ def sharded_motion_step(
                 jnp.where(in_frame, jnp.maximum(comp, cur_t), 0)
             )
             cost = (
-                field.best_cost_i32 if metric == "mse" else field.score
+                field.score if metric == "ssim" else field.best_cost_i32
             )
             return field.mv_y, field.mv_x, cost, comp, sum_sq, fmax
 

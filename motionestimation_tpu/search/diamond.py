@@ -77,6 +77,9 @@ def _np_cost(cur_blk, ref, tl_y, tl_x, h, w, d_y, d_x, span, metric,
     if metric == "mse":
         d = cur_blk.astype(np.int64) - patch
         return int(np.sum(d * d))
+    if metric == "sad":
+        d = cur_blk.astype(np.int64) - patch
+        return int(np.sum(np.abs(d)))
     n = h * w
     sum_ref, sum_cur = int(patch.sum()), int(cur_blk.sum())
     score = cost_lib.ssim_from_sums(
@@ -111,7 +114,7 @@ def diamond_search_np(
     mv_x = np.zeros((nby, nbx), np.int32)
     best = np.zeros((nby, nbx), np.float64)
     traj = np.zeros((max_steps + 1, nby, nbx, 2), np.int32)
-    minimise = metric == "mse"
+    minimise = metric in ("mse", "sad")
 
     for by in range(nby):
         for bx in range(nbx):
@@ -223,7 +226,7 @@ def _diamond_replay(
     step, multiplied against *statically* shifted volume slices (pattern
     offsets are compile-time constants)."""
     _, nby, nbx = volume.shape
-    minimise = metric == "mse"
+    minimise = metric in ("mse", "sad")
     k = 2 * span + 1
 
     tl_y, tl_x, blk_h, blk_w = geometry.block_extents(
@@ -341,8 +344,13 @@ def _diamond_replay(
     ccost = jnp.where(apply_sdsp, wc, ccost)
 
     if minimise:
-        ssd = ccost.astype(jnp.int32)
-        field = MotionField(cy, cx, ssd, cost_lib.mse_from_ssd(ssd, count))
+        best = ccost.astype(jnp.int32)
+        mean = (
+            cost_lib.mse_from_ssd(best, count)
+            if metric == "mse"
+            else cost_lib.mad_from_sad(best, count)
+        )
+        field = MotionField(cy, cx, best, mean)
     else:
         k = 2 * span + 1
         flat = (cy + span) * k + (cx + span)
@@ -372,7 +380,7 @@ def diamond_search_frame(
             f"current and reference frames must have identical shapes, "
             f"got {cur.shape} vs {ref.shape}"
         )
-    if metric not in ("mse", "ssim"):
+    if metric not in ("mse", "sad", "ssim"):
         raise ValueError(f"unknown metric {metric!r}")
     frame_height, frame_width = cur.shape
     if max_steps is None:

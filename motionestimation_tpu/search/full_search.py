@@ -38,10 +38,11 @@ class MotionField(NamedTuple):
 
     mv_x / mv_y: integer displacement, candidate_topleft − block_topleft
       (main.c:58-59).
-    best_cost_i32: exact integer SSD for MSE search; for SSIM this is the
-      float32 score bitcast is NOT applied — SSIM search returns the score
-      in `score` instead and leaves this as the flat index cost proxy.
-    score: float32 cost — MSE (SSD / (w·h), main.c:27) or SSIM score.
+    best_cost_i32: exact integer SSD (MSE search) or SAD (SAD search); for
+      SSIM this is the flat index cost proxy — SSIM search returns the
+      score in `score` instead.
+    score: float32 cost — MSE (SSD / (w·h), main.c:27), MAD (SAD / (w·h)),
+      or SSIM score.
     """
 
     mv_y: jax.Array
@@ -106,13 +107,14 @@ def full_search_tile(
         global ref pixel (y0 + r - span, x0 + c - span) is at [r, c], zero
         outside the frame.
       y0, x0: global coordinates of cur_tile[0, 0] (traced or static).
-      metric: "mse" (minimise integer SSD) or "ssim" (maximise float score).
+      metric: "mse" (minimise integer SSD), "sad" (minimise integer SAD),
+        or "ssim" (maximise float score).
       return_cost_volume: also return the [K², nby, nbx] per-candidate cost
         (masked candidates get INT32_MAX / -inf). Debug/testing only.
 
     Returns a MotionField (plus the cost volume if requested).
     """
-    if metric not in ("mse", "ssim"):
+    if metric not in ("mse", "sad", "ssim"):
         raise ValueError(f"unknown metric {metric!r}")
     tile_h, tile_w = cur_tile.shape
     if tile_h % blk_dim or tile_w % blk_dim:
@@ -153,6 +155,10 @@ def full_search_tile(
             diff = (cur_tile - win) * pix_mask
             ssd = cost_lib.block_reduce(diff * diff, blk_dim)
             return jnp.where(valid, ssd, cost_lib.INT32_MAX)
+        elif metric == "sad":
+            diff = (cur_tile - win) * pix_mask
+            sad = cost_lib.block_reduce(jnp.abs(diff), blk_dim)
+            return jnp.where(valid, sad, cost_lib.INT32_MAX)
         else:
             win_m = win * pix_mask
             sum_ref = cost_lib.block_reduce(win_m, blk_dim)
@@ -163,7 +169,7 @@ def full_search_tile(
             )
             return jnp.where(valid, score, -jnp.inf)
 
-    if metric == "mse":
+    if metric in ("mse", "sad"):
         init = (
             jnp.full((nby, nbx), cost_lib.INT32_MAX, jnp.int32),
             jnp.full((nby, nbx), span * k + span, jnp.int32),  # mv=(0,0) default
@@ -200,6 +206,9 @@ def full_search_tile(
     mv_y, mv_x = geometry.mv_from_flat_index(best_idx, span)
     if metric == "mse":
         score = cost_lib.mse_from_ssd(best_cost, count)
+        field = MotionField(mv_y, mv_x, best_cost, score)
+    elif metric == "sad":
+        score = cost_lib.mad_from_sad(best_cost, count)
         field = MotionField(mv_y, mv_x, best_cost, score)
     else:
         field = MotionField(mv_y, mv_x, best_idx, best_cost)

@@ -86,6 +86,47 @@ def full_search_mse(cur: np.ndarray, ref: np.ndarray, blk_dim: int, span: int):
     return mv_y, mv_x, best_ssd, best_mse
 
 
+def full_search_sad(cur: np.ndarray, ref: np.ndarray, blk_dim: int, span: int):
+    """Oracle full-search SAD. cur/ref: [H, W] integer arrays.
+
+    Returns (mv_y, mv_x, best_sad, best_mad_f32), each [nby, nbx].
+
+    The reference has no SAD driver; the canonical SAD semantics are
+    defined to mirror the MSE driver exactly (main.c:39-64): identical
+    clamped window (main.c:73-76), y-outer raster scan, strict < with
+    first-in-raster-order-wins ties — only the per-candidate cost changes
+    to the exact integer Σ|cur-ref| (BASELINE.json: "bit-exact ... SAD
+    costs"). Integer SADs make every comparison exact (max SAD =
+    255·32² < 2¹⁸).
+    """
+    height, width = cur.shape
+    cur = cur.astype(np.int64)
+    ref = ref.astype(np.int64)
+    nby, nbx, blocks = _block_grid(height, width, blk_dim)
+    mv_y = np.zeros((nby, nbx), np.int32)
+    mv_x = np.zeros((nby, nbx), np.int32)
+    best_sad = np.zeros((nby, nbx), np.int64)
+    best_mad = np.zeros((nby, nbx), np.float32)
+
+    for bx, by, tl_x, tl_y, w, h in blocks:
+        w_tl_x, w_tl_y, w_br_x, w_br_y = _window_bounds(
+            tl_x, tl_y, tl_x + w - 1, tl_y + h - 1, span, width, height
+        )
+        blk = cur[tl_y : tl_y + h, tl_x : tl_x + w]
+        ys = np.arange(w_tl_y, w_br_y - h + 2)
+        xs = np.arange(w_tl_x, w_br_x - w + 2)
+        region = ref[w_tl_y : w_br_y + 1, w_tl_x : w_br_x + 1]
+        win = np.lib.stride_tricks.sliding_window_view(region, (h, w))
+        sad = np.abs(win - blk[None, None]).sum(axis=(2, 3))
+        flat = int(np.argmin(sad))  # first minimum in raster order wins
+        cy, cx = divmod(flat, len(xs))
+        mv_x[by, bx] = int(xs[cx]) - tl_x
+        mv_y[by, bx] = int(ys[cy]) - tl_y
+        best_sad[by, bx] = sad[cy, cx]
+        best_mad[by, bx] = np.float32(sad[cy, cx]) / np.float32(w * h)
+    return mv_y, mv_x, best_sad, best_mad
+
+
 def _f32(x):
     return np.float32(x)
 

@@ -97,6 +97,13 @@ class FixtureCase:
         raise AssertionError(f"no score line in {self.name}")
 
 
+def foreman(name: str) -> np.ndarray:
+    """Load a bundled Foreman CIF luma plane (352x288) by base name."""
+    path = os.path.join(REF_FRAMES, f"{name}.yuv")
+    data = np.fromfile(path, dtype=np.uint8, count=288 * 352)
+    return data.reshape(288, 352)
+
+
 def all_cases():
     return sorted(
         d for d in os.listdir(FIXTURES)

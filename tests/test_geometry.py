@@ -112,7 +112,8 @@ def test_search_config_validation():
     with pytest.raises(ValueError):
         SearchConfig(span=-1)
     with pytest.raises(ValueError):
-        SearchConfig(metric="sad")
+        SearchConfig(metric="mad")
+    assert SearchConfig(metric="sad").metric == "sad"
     with pytest.raises(ValueError):
         SearchConfig(algorithm="hexagon")
     with pytest.raises(ValueError):
