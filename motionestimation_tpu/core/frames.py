@@ -81,6 +81,20 @@ def image_psnr(frame1: np.ndarray, frame2: np.ndarray) -> float:
     return 20.0 * math.log10(max_val) - 10.0 * math.log10(mse)
 
 
+def psnr_from_stats(sum_sq_err: int, count: int, max_val: int) -> float:
+    """PSNR from an exact integer Σerr² + observed max (utils.c:137-164).
+
+    Bit-identical to `image_psnr` when the stats are exact: Σerr² for 8-bit
+    frames is < 2^53, so the float64 division reproduces image_psnr's
+    `np.dot(float64)` value exactly. Lets sharded runs compute PSNR from
+    psum'd device statistics without fetching the compensated frame.
+    """
+    mse = float(int(sum_sq_err)) / count
+    if mse == 0:
+        return 99.0
+    return 20.0 * math.log10(int(max_val)) - 10.0 * math.log10(mse)
+
+
 def residual_mse(a: np.ndarray, b: np.ndarray) -> float:
     """Mean squared residual between two frames (float64, the true value)."""
     d = a.astype(np.float64).ravel() - b.astype(np.float64).ravel()

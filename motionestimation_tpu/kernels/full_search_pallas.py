@@ -2,9 +2,16 @@
 
 TPU-native analogue of the reference's optimized CUDA kernel
 (/root/reference/src/gpu/main_mse.cu:41-141), redesigned for the TPU memory
-hierarchy instead of translated. Two kernels share one driver:
+hierarchy instead of translated. The kernels share one driver:
 
-**Fast kernel** (`_kernel_f32`, blk_dim <= 16): per full-width row stripe,
+**Phase kernel** (`_kernel_phase`, the default for MSE/SAD with blk_dim
+dividing 128 and <= 16): restages the stripe into stride-blk "phase
+planes" once, then evaluates every candidate with a blk-term VPU diff
+chain and a single cumulative lane roll per dx — no per-candidate matmul
+or band roll at all (see its docstring). ~1.8x the chunked kernel at 4K
+on TPU v5e, and the only path with native SAD.
+
+**Chunked fast kernel** (`_kernel_f32`, blk_dim <= 16): per full-width row stripe,
 decompose SSD = (Qcur - X) + (Qref - X) where
   Qcur = Σ cur²  per block          — computed once per stripe,
   Qref = Σ ref²  over the candidate — a b×b box filter of ref², computed
@@ -669,6 +676,294 @@ def _run_f32_wide(
     return cost_px[:, ::blk_dim], idx_px[:, ::blk_dim]
 
 
+def _lexmin_pairs(cost, idx, n_groups: int, g: int):
+    """Static lexicographic min-tree over `n_groups` row groups of height g.
+
+    cost/idx: [n_groups*g, W]. Returns ([g, W], [g, W]) — the per-(R, lane)
+    minimum of (cost, idx) over groups, ties to the smallest idx (the flat
+    raster index ⇒ reference first-in-raster-order-wins, main.c:53-60).
+    """
+    def lexmin(ca, ia, cb, ib):
+        take = (cb < ca) | ((cb == ca) & (ib < ia))
+        return jnp.where(take, cb, ca), jnp.where(take, ib, ia)
+
+    while n_groups > 1:
+        h = n_groups // 2
+        ca, ia = cost[: h * g, :], idx[: h * g, :]
+        cb, ib = cost[h * g : 2 * h * g, :], idx[h * g : 2 * h * g, :]
+        cm, im = lexmin(ca, ia, cb, ib)
+        if n_groups % 2:
+            # odd tail group folds into the first group
+            ct, it = cost[2 * h * g :, :], idx[2 * h * g :, :]
+            c0, i0 = lexmin(cm[0:g, :], im[0:g, :], ct, it)
+            cm = jnp.concatenate([c0, cm[g:, :]], 0) if h > 1 else c0
+            im = jnp.concatenate([i0, im[g:, :]], 0) if h > 1 else i0
+        cost, idx, n_groups = cm, im, h
+    return cost, idx
+
+
+def _keymin_tree(key, n_groups: int, g: int):
+    """Static min-tree over `n_groups` row groups of height g (packed keys)."""
+    while n_groups > 1:
+        h = n_groups // 2
+        m = jnp.minimum(key[: h * g, :], key[h * g : 2 * h * g, :])
+        if n_groups % 2:
+            tail = jnp.minimum(m[0:g, :], key[2 * h * g :, :])
+            m = jnp.concatenate([tail, m[g:, :]], 0) if h > 1 else tail
+        key, n_groups = m, h
+    return key
+
+
+def _phase_key_fits(blk_dim: int, span: int, metric: str) -> bool:
+    """True iff cost*K^2 + flat fits int32 with a -2^31 bias (exact argmin
+    by plain min over packed keys)."""
+    k = 2 * span + 1
+    max_cost = (255 * 255 if metric == "mse" else 255) * blk_dim * blk_dim
+    return (max_cost + 1) * k * k <= 2**32 - 1
+
+
+def _kernel_phase(
+    ref_hbm,          # [rows, halo_w] f32, HBM: span-padded reference panel
+    cur_ref,          # [TH, W] f32, VMEM stripe (TH = 8*blk)
+    cost_out,         # [8, W] i32 block of [Hp2/b, W]
+    idx_out,          # [8, W] i32 block
+    win_ref,          # [halo_rows, halo_w] f32 scratch
+    c_ref,            # [TH, W] f32 scratch: cur phase planes (r-major)
+    e_ref,            # [n_phase*8, halo_w] f32 scratch: ref phase planes
+    w_ref,            # [K*8, W] f32 scratch: per-dy block-row sums
+    oky_ref,          # [K*8, 1] i32: dy*K (+bias) when dy valid, else MAX
+    bc_ref,           # [K*8, W] i32: running min (packed key, or cost)
+    bi_ref,           # [K*8 or 8, W] i32: running idx (lex path only)
+    in_sem,
+    *,
+    blk_dim: int,
+    span: int,
+    frame_height: int,
+    frame_width: int,
+    x_origin: int,
+    metric: str,
+    use_key: bool,
+):
+    """Phase-plane full-search kernel (blk_dim in {8, 16}, interior blocks).
+
+    TPU-native redesign of the CUDA kernel's work (main_mse.cu:41-141) with
+    NO per-candidate matmul and no per-candidate roll of the window band —
+    round 1's chunked-matmul kernel spent ~80% of its time in an M=16
+    selector matmul padded 8x to the 128-row MXU (measured by ablation,
+    tools/kern_lab.py). Scheme:
+
+    * Once per stripe, restage cur and the halo band into stride-blk
+      "phase planes" via two permutation matmuls: C[r][R, x] = cur row
+      R*blk+r; E[p][R, x] = win row R*blk+p. Slabs are static sublane
+      slices thereafter.
+    * dx is the outer (fori) loop: ONE cumulative lane roll of E per dx
+      serves all K dy candidates.
+    * Per (dx, dy): block-row sums via a blk-term VPU chain in diff form —
+      w = sum_r f(C[r] - E[dy+r]), f = square (SSD) or abs (SAD); every
+      term is an exact integer < 2^24 in f32. The blk-wide lane sliding
+      sum of w is then the full block cost.
+    * Argmin: evaluation order is dx-outer, so the tie rule is enforced
+      explicitly. When cost*K^2+flat fits int32 (blk 8, and SAD generally)
+      the (cost, flat) pair packs into ONE biased int32 key and the argmin
+      is a plain running `min` + a static min-tree over the dy groups;
+      otherwise a lexicographic (cost, idx) running min. Both reproduce
+      first-in-raster-order-wins exactly (main.c:53-60).
+    """
+    k = 2 * span + 1
+    g = 8  # block rows per stripe (nby_t)
+    tile_h = g * blk_dim
+    n_phase = blk_dim + 2 * span
+    halo_rows = win_ref.shape[0]
+    halo_w = win_ref.shape[1]
+    tile_w = cur_ref.shape[1]
+    kk = k * k
+    bias = -(2**31)
+    i32max = 2**31 - 1
+
+    y0 = pl.program_id(0) * tile_h
+    copy_in = pltpu.make_async_copy(
+        ref_hbm.at[pl.ds(y0, halo_rows), :], win_ref, in_sem
+    )
+    copy_in.start()
+
+    def perm(rows, cols):
+        i = lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        q = lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        return (q == (i % g) * blk_dim + i // g).astype(jnp.float32)
+
+    c_ref[:] = jax.lax.dot(
+        perm(tile_h, tile_h), cur_ref[:], precision=lax.Precision.HIGHEST
+    )
+    bc_ref[:] = jnp.full((k * g, tile_w), i32max, jnp.int32)
+    if not use_key:
+        bi_ref[:] = jnp.full((k * g, tile_w), i32max, jnp.int32)
+
+    row = lax.broadcasted_iota(jnp.int32, (k * g, 1), 0)
+    dyv = row // g
+    tl_y = y0 + (row % g) * blk_dim
+    ok_y = (tl_y + dyv - span >= 0) & (
+        tl_y + dyv - span <= frame_height - blk_dim
+    )
+    oky_ref[:] = jnp.where(
+        ok_y, dyv * k + (bias if use_key else 0), i32max
+    )
+
+    copy_in.wait()
+    e_ref[:] = jax.lax.dot(
+        perm(n_phase * g, halo_rows), win_ref[:],
+        precision=lax.Precision.HIGHEST,
+    )
+
+    tl_x = x_origin + lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
+
+    def dx_body(j, _):
+        d_x = j - span
+        ok_x = (tl_x + d_x >= 0) & (tl_x + d_x <= frame_width - blk_dim)
+        for dy in range(k):
+            terms = []
+            for r in range(blk_dim):
+                p = dy + r
+                d = (
+                    c_ref[r * g : (r + 1) * g, :]
+                    - e_ref[p * g : (p + 1) * g, 0:tile_w]
+                )
+                terms.append(jnp.abs(d) if metric == "sad" else d * d)
+            w_ref[dy * g : (dy + 1) * g, :] = functools.reduce(
+                lambda a, b: a + b, terms
+            )
+        x = _sliding_sums(w_ref[:], blk_dim, axis=1).astype(jnp.int32)
+        valid = ok_x & (oky_ref[:] != i32max)
+        if use_key:
+            key = x * kk + (oky_ref[:] + j)
+            bc_ref[:] = jnp.minimum(
+                bc_ref[:], jnp.where(valid, key, i32max)
+            )
+        else:
+            cand = jnp.where(valid, x, i32max)
+            flat = oky_ref[:] + j
+            bc, bi = bc_ref[:], bi_ref[:]
+            take = (cand < bc) | ((cand == bc) & (flat < bi))
+            bc_ref[:] = jnp.where(take, cand, bc)
+            bi_ref[:] = jnp.where(take, flat, bi)
+        e_ref[:] = pltpu.roll(e_ref[:], halo_w - 1, 1)
+        return 0
+
+    lax.fori_loop(0, k, dx_body, 0)
+
+    if use_key:
+        key = _keymin_tree(bc_ref[:], k, g)
+        # Decode key = cost*kk + flat + bias with int32-safe arithmetic:
+        # 2^31 = q0*kk + r0  =>  flat = ((key mod kk) + r0) mod kk and
+        # key - flat + r0 = kk*(cost - q0), an exact multiple.
+        q0, r0 = divmod(2**31, kk)
+        flat = jnp.mod(jnp.mod(key, kk) + r0, kk)
+        cost = lax.div(key - flat + r0, kk) + q0
+        # Blocks with no valid candidate (padding rows) decode garbage;
+        # emit the centre displacement like the golden path's init.
+        none = key == i32max
+        cost_out[:] = jnp.where(none, i32max, cost)
+        idx_out[:] = jnp.where(none, span * k + span, flat)
+    else:
+        cost, idx = _lexmin_pairs(bc_ref[:], bi_ref[:], k, g)
+        none = cost == i32max
+        cost_out[:] = cost
+        idx_out[:] = jnp.where(none, span * k + span, idx)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "blk_dim", "span", "frame_height", "frame_width",
+        "x_origin", "metric", "interpret",
+    ),
+)
+def _run_phase(
+    cur_padded,
+    ref_padded,
+    *,
+    blk_dim: int,
+    span: int,
+    frame_height: int,
+    frame_width: int,
+    x_origin: int,
+    metric: str,
+    interpret: bool,
+):
+    """Phase-plane search over a padded f32 panel. Returns block-grid
+    (cost_i32, idx) for interior blocks."""
+    hp2, wp2 = cur_padded.shape
+    g = 8
+    tile_h = g * blk_dim
+    k = 2 * span + 1
+    n_phase = blk_dim + 2 * span
+    halo_rows = _round_up(tile_h + 2 * span, 8)
+    halo_w = ref_padded.shape[1]
+    use_key = _phase_key_fits(blk_dim, span, metric)
+    kernel = functools.partial(
+        _kernel_phase,
+        blk_dim=blk_dim, span=span,
+        frame_height=frame_height, frame_width=frame_width,
+        x_origin=x_origin, metric=metric, use_key=use_key,
+    )
+    n_stripes = hp2 // tile_h
+    cost_px, idx_px = pl.pallas_call(
+        kernel,
+        grid=(n_stripes,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_h, wp2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, wp2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, wp2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.int32),
+            jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+            pltpu.VMEM((tile_h, wp2), jnp.float32),
+            pltpu.VMEM((n_phase * g, halo_w), jnp.float32),
+            pltpu.VMEM((k * g, wp2), jnp.float32),
+            pltpu.VMEM((k * g, 1), jnp.int32),
+            pltpu.VMEM((k * g, wp2), jnp.int32),
+            pltpu.VMEM(((k * g, wp2) if not use_key else (8, 128)),
+                       jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(ref_padded, cur_padded)
+    return cost_px[:, ::blk_dim], idx_px[:, ::blk_dim]
+
+
+def _phase_panel_target(blk_dim: int, span: int, metric: str) -> int:
+    """Widest 128-multiple panel whose phase-kernel VMEM fits ~11.5 MB."""
+    g = 8
+    k = 2 * span + 1
+    n_phase = blk_dim + 2 * span
+    tile_h = g * blk_dim
+    halo_rows = _round_up(tile_h + 2 * span, 8)
+    lex = not _phase_key_fits(blk_dim, span, metric)
+    for pw in (2048, 1536, 1024, 768, 512, 384, 256, 128):
+        halo_w = _round_up(pw + 2 * span, 128)
+        b = 4 * (
+            halo_rows * halo_w          # win
+            + tile_h * pw               # c
+            + n_phase * g * halo_w      # e
+            + k * g * pw                # w
+            + k * g * pw * (2 if lex else 1)  # bc (+ bi)
+            + 2 * tile_h * pw           # input double buffer
+            + 4 * g * pw                # output double buffers
+        )
+        if b <= 11.5e6:
+            return pw
+    return 128
+
+
 def _kernel_int(
     ref_hbm,          # [rows, halo_w] int32, HBM
     cur_ref,          # [TH, W] int32, VMEM stripe
@@ -689,6 +984,7 @@ def _kernel_int(
     frame_width: int,
     x_origin: int,
     y_origin: int,
+    metric: str = "mse",
 ):
     k = 2 * span + 1
     y0 = y_origin + pl.program_id(0) * tile_h
@@ -730,8 +1026,9 @@ def _kernel_int(
         def dx_body(j, _):
             d_x = j - span
             diff = cur - row_ref[:, 0:tile_w] * pix_mask
+            per_px = jnp.abs(diff) if metric == "sad" else diff * diff
             sums = _sliding_sums(
-                _sliding_sums(diff * diff, blk_dim, axis=0),
+                _sliding_sums(per_px, blk_dim, axis=0),
                 blk_dim,
                 axis=1,
             )
@@ -766,7 +1063,7 @@ def _kernel_int(
     jax.jit,
     static_argnames=(
         "blk_dim", "span", "frame_height", "frame_width",
-        "tile_h", "x_origin", "y_origin", "interpret",
+        "tile_h", "x_origin", "y_origin", "interpret", "metric",
     ),
 )
 def _run_int(
@@ -781,9 +1078,10 @@ def _run_int(
     x_origin: int,
     y_origin: int,
     interpret: bool,
+    metric: str = "mse",
 ):
     """Exact int32 search over a padded slab. Returns pixel-positioned
-    (ssd, idx); valid entries at positions that are multiples of blk_dim."""
+    (cost, idx); valid entries at positions that are multiples of blk_dim."""
     hp2, wp2 = cur_padded.shape
     halo_rows = _round_up(tile_h + 2 * span, 8)
     halo_w = ref_padded.shape[1]
@@ -791,7 +1089,7 @@ def _run_int(
         _kernel_int,
         blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
         frame_height=frame_height, frame_width=frame_width,
-        x_origin=x_origin, y_origin=y_origin,
+        x_origin=x_origin, y_origin=y_origin, metric=metric,
     )
     out_shape = jax.ShapeDtypeStruct((hp2, wp2), jnp.int32)
     ssd_px, idx_px = pl.pallas_call(
@@ -980,16 +1278,28 @@ def _pad_slab(frame, *, row_range, col_range, out_rows, out_cols, offset_r,
     )
 
 
-def _panel_widths(wp: int, blk_dim: int):
+def _panel_widths(wp: int, blk_dim: int, target: int = _PANEL_TARGET):
     """Split the block-padded width into DMA-aligned column panels.
 
     Panel width must be a multiple of lcm(128, blk_dim) so panel borders
     align to both the lane tiling and the block grid; the last panel is
     rounded up (zero-padded, masked)."""
     unit = math.lcm(128, blk_dim)
-    panel = max(unit, (_PANEL_TARGET // unit) * unit)
+    panel = max(unit, (target // unit) * unit)
     starts = list(range(0, wp, panel))
     return [(s, min(panel, _round_up(wp - s, unit))) for s in starts]
+
+
+def _phase_supported(blk_dim: int, span: int, metric: str) -> bool:
+    """Whether the phase-plane kernel covers this config: MSE/SAD, blocks
+    that divide the 128-lane tiling (panel borders must align to both),
+    and a non-degenerate window."""
+    return (
+        metric in ("mse", "sad")
+        and blk_dim <= 16
+        and 128 % blk_dim == 0
+        and span >= 1
+    )
 
 
 def full_search_frame_pallas(
@@ -998,31 +1308,49 @@ def full_search_frame_pallas(
     *,
     blk_dim: int,
     span: int,
+    metric: str = "mse",
     tile: int | None = None,
     interpret: bool | None = None,
     unroll_dx: bool = False,
     chunk_dx: int = 5,
     operand_bf16: bool = False,
+    phase: bool | None = None,
 ):
-    """Whole-frame full-search MSE via the fused Pallas kernels.
+    """Whole-frame full-search (MSE or SAD) via the fused Pallas kernels.
 
     Bit-exact vs search.full_search_frame (and therefore vs the C
-    reference): identical MVs, identical integer SSDs.
+    reference): identical MVs, identical integer SSD/SAD costs.
 
     Args:
+      metric: "mse" (minimise integer SSD, main.c:18-36) or "sad"
+        (minimise integer SAD; reference cost slot, BASELINE config 1).
       tile: target stripe height in pixel rows (default 128); rounded up to
         a multiple of 8*blk_dim (fast path) or lcm(8, blk_dim) (exact
-        path). Stripes span one column panel (~2048 lanes).
+        path). Stripes span one column panel (~2048 lanes). Ignored by the
+        phase kernel (fixed 8-block-row stripes).
       interpret: force interpreter mode (defaults to True off-TPU so tests
         run on CPU).
-      chunk_dx: dx-candidate batching factor for the MXU compaction matmul
-        (default 5 — the fastest measured config on TPU v5e at 4K, ~23 ms
-        vs ~28 ms for the unchunked roll form; 0/1 selects the roll form).
+      phase: select the phase-plane kernel (the fastest path; default
+        auto = on whenever supported: MSE/SAD, blk_dim in {4, 8, 16},
+        span >= 1). phase=False forces the legacy chunked kernels.
+      unroll_dx / chunk_dx / operand_bf16: legacy chunked-kernel tuning
+        knobs (chunk 5 was the fastest pre-phase config on TPU v5e).
     """
     if cur.shape != ref.shape:
         raise ValueError(
             f"current and reference frames must have identical shapes, "
             f"got {cur.shape} vs {ref.shape}"
+        )
+    if metric not in ("mse", "sad"):
+        raise ValueError(
+            f"full_search_frame_pallas supports metric 'mse' or 'sad', "
+            f"got {metric!r} (SSIM lives in kernels.ssim_pallas)"
+        )
+    if phase and not _phase_supported(blk_dim, span, metric):
+        raise ValueError(
+            f"phase kernel requires metric mse/sad, blk_dim dividing 128 "
+            f"and <= 16, span >= 1; got blk_dim={blk_dim} span={span} "
+            f"metric={metric!r}"
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1030,28 +1358,42 @@ def full_search_frame_pallas(
     # slabs, and MV decode fuse into a single dispatch (eager per-op
     # dispatch otherwise dominates at ~1 ms/op on slow hosts).
     return _full_search_frame_jit(
-        cur, ref, blk_dim=blk_dim, span=span,
+        cur, ref, blk_dim=blk_dim, span=span, metric=metric,
         tile=tile if tile is not None else 128, interpret=interpret,
         unroll_dx=unroll_dx, chunk_dx=chunk_dx, operand_bf16=operand_bf16,
+        phase=phase,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("blk_dim", "span", "tile", "interpret", "unroll_dx",
-                     "chunk_dx", "operand_bf16"),
+                     "chunk_dx", "operand_bf16", "metric", "phase"),
 )
 def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
                            unroll_dx=False, chunk_dx=5,
-                           operand_bf16=False):
+                           operand_bf16=False, metric="mse", phase=None):
     frame_height, frame_width = cur.shape
     hp, wp = geometry.padded_dims(frame_height, frame_width, blk_dim)
     nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
 
-    use_f32 = blk_dim <= 16
-    use_wide = not use_f32 and blk_dim <= 32 and blk_dim % 8 == 0
-    fast = use_f32 or use_wide
-    if use_f32:
+    use_phase = (
+        _phase_supported(blk_dim, span, metric) if phase is None else phase
+    )
+    if use_phase:
+        use_f32 = use_wide = False
+    else:
+        # Legacy kernels: the Qcur/Qref decomposition is SSD-specific, so
+        # SAD falls through to the exact int kernel when phase is off.
+        use_f32 = blk_dim <= 16 and metric == "mse"
+        use_wide = (
+            not use_f32 and blk_dim <= 32 and blk_dim % 8 == 0
+            and metric == "mse"
+        )
+    fast = use_phase or use_f32 or use_wide
+    if use_phase:
+        stripe_unit = 8 * blk_dim
+    elif use_f32:
         stripe_unit = 8 * blk_dim
     elif use_wide:
         stripe_unit = blk_dim
@@ -1060,15 +1402,20 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
     # Round the target DOWN to the stripe unit (min one unit): rounding up
     # inflates per-stripe VMEM past the 16 MB scoped limit (e.g. blk 7 →
     # unit 56 → a 128 target must become 112, not 168).
-    tile_h = min(
-        _round_up(hp, stripe_unit),
-        max(stripe_unit, tile // stripe_unit * stripe_unit),
-    )
+    if use_phase:
+        tile_h = stripe_unit  # fixed 8 block rows per stripe
+    else:
+        tile_h = min(
+            _round_up(hp, stripe_unit),
+            max(stripe_unit, tile // stripe_unit * stripe_unit),
+        )
     hp2 = _round_up(hp, tile_h)
-    # must match _run_f32/_run_int's halo_rows rounding
+    # must match _run_*'s halo_rows rounding
     halo_row_pad = _round_up(2 * span, 8)
 
-    if use_f32:
+    if use_phase:
+        run = _run_phase
+    elif use_f32:
         run = _run_f32
     elif use_wide:
         run = _run_f32_wide
@@ -1076,10 +1423,15 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
         run = _run_int
     # operand_bf16 panels stay f32: the bf16 staging happens inside the
     # kernel (Mosaic v5e cannot DMA bf16 with dynamic sublane offsets).
-    dtype = jnp.float32 if fast else jnp.int32
+    dtype = jnp.int32 if run is _run_int else jnp.float32
 
+    panel_target = (
+        _phase_panel_target(blk_dim, span, metric)
+        if use_phase
+        else _PANEL_TARGET
+    )
     ssd_panels, idx_panels = [], []
-    for x0, pw in _panel_widths(wp, blk_dim):
+    for x0, pw in _panel_widths(wp, blk_dim, panel_target):
         halo_w = _round_up(pw + 2 * span, 128)
         cur_p = _pad_slab(
             cur, row_range=(0, frame_height), col_range=(x0, x0 + pw),
@@ -1095,18 +1447,24 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
         kwargs = dict(
             blk_dim=blk_dim, span=span,
             frame_height=frame_height, frame_width=frame_width,
-            tile_h=tile_h, x_origin=x0, interpret=interpret,
+            x_origin=x0, interpret=interpret,
         )
-        if use_f32:
+        if use_phase:
+            kwargs["metric"] = metric
+        elif use_f32:
+            kwargs["tile_h"] = tile_h
             kwargs["unroll_dx"] = unroll_dx
             kwargs["chunk_dx"] = chunk_dx
             kwargs["operand_bf16"] = operand_bf16
         elif use_wide:
             # chunk 4 keeps 2*C product halves under the scoped-VMEM limit
             # at 2048-lane panels with the wider halo pyramids.
+            kwargs["tile_h"] = tile_h
             kwargs["chunk"] = min(4, chunk_dx) if chunk_dx > 1 else 4
         else:
+            kwargs["tile_h"] = tile_h
             kwargs["y_origin"] = 0
+            kwargs["metric"] = metric
         s, i = run(cur_p, ref_p, **kwargs)
         ssd_panels.append(s)
         idx_panels.append(i)
@@ -1114,17 +1472,19 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
     idx = jnp.concatenate(idx_panels, axis=1)[:nby, :nbx]
 
     if fast:
-        # Truncated edge blocks violate the fast kernel's uniform-box Qref;
-        # recompute them exactly on thin slabs and merge.
+        # Truncated edge blocks violate the fast kernels' uniform-block
+        # assumptions; recompute them exactly on thin slabs and merge.
         if frame_height % blk_dim:
             e_ssd, e_idx = _edge_slab_bottom(
-                cur, ref, blk_dim=blk_dim, span=span, interpret=interpret
+                cur, ref, blk_dim=blk_dim, span=span, interpret=interpret,
+                metric=metric,
             )
             ssd = ssd.at[nby - 1, :].set(e_ssd[0, :nbx])
             idx = idx.at[nby - 1, :].set(e_idx[0, :nbx])
         if frame_width % blk_dim:
             e_ssd, e_idx = _edge_slab_right(
-                cur, ref, blk_dim=blk_dim, span=span, interpret=interpret
+                cur, ref, blk_dim=blk_dim, span=span, interpret=interpret,
+                metric=metric,
             )
             ssd = ssd.at[:, nbx - 1].set(e_ssd[:nby, 0])
             idx = idx.at[:, nbx - 1].set(e_idx[:nby, 0])
@@ -1133,7 +1493,10 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
     _, _, blk_h, blk_w = geometry.block_extents(
         0, 0, nby, nbx, blk_dim, frame_height, frame_width
     )
-    score = cost_lib.mse_from_ssd(ssd, blk_h * blk_w)
+    if metric == "sad":
+        score = cost_lib.mad_from_sad(ssd, blk_h * blk_w)
+    else:
+        score = cost_lib.mse_from_ssd(ssd, blk_h * blk_w)
     return fs.MotionField(mv_y, mv_x, ssd, score)
 
 
@@ -1161,6 +1524,10 @@ def full_search_volume_pallas(
     """
     if blk_dim > 16:
         raise ValueError("full_search_volume_pallas requires blk_dim <= 16")
+    if span < 1:
+        # The emit_volume drain loop assumes k >= 2 DMA slots (it waits on
+        # slot (k-2) % 2); span 0 is a degenerate 1-candidate "search".
+        raise ValueError("full_search_volume_pallas requires span >= 1")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _full_search_volume_jit(
@@ -1245,7 +1612,7 @@ def _full_search_volume_jit(cur, ref, *, blk_dim, span, tile, interpret,
     return volume
 
 
-def _edge_slab_bottom(cur, ref, *, blk_dim, span, interpret):
+def _edge_slab_bottom(cur, ref, *, blk_dim, span, interpret, metric="mse"):
     """Exact search for the last (truncated) block row: a thin full-width
     horizontal slab through the int kernel."""
     frame_height, frame_width = cur.shape
@@ -1273,10 +1640,11 @@ def _edge_slab_bottom(cur, ref, *, blk_dim, span, interpret):
         blk_dim=blk_dim, span=span,
         frame_height=frame_height, frame_width=frame_width,
         tile_h=tile_h, x_origin=0, y_origin=y_org, interpret=interpret,
+        metric=metric,
     )
 
 
-def _edge_slab_right(cur, ref, *, blk_dim, span, interpret):
+def _edge_slab_right(cur, ref, *, blk_dim, span, interpret, metric="mse"):
     """Exact search for the last (truncated) block column: a narrow
     full-height vertical slab through the int kernel."""
     frame_height, frame_width = cur.shape
@@ -1306,4 +1674,5 @@ def _edge_slab_right(cur, ref, *, blk_dim, span, interpret):
         blk_dim=blk_dim, span=span,
         frame_height=frame_height, frame_width=frame_width,
         tile_h=tile_h, x_origin=x_org, y_origin=0, interpret=interpret,
+        metric=metric,
     )

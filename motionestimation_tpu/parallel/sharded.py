@@ -32,16 +32,21 @@ class ShardedStepResult(NamedTuple):
     mv_y / mv_x: [B, nby, nbx] int32, sharded (dp, ty, tx)
     best_cost:   [B, nby, nbx] int32 (SSD) or float32 (SSIM score)
     comp:        [B, Hp, Wp] int32 motion-compensated frames
-    sum_sq_err / sum_max: per-batch scalars for PSNR (float32 / int32),
-      replicated — psum'd over the spatial mesh, computed over true frame
-      pixels only.
+    sum_sq_hi / sum_sq_lo / frame_max: per-batch PSNR statistics, psum /
+      pmax'd over the spatial mesh, computed over true frame pixels only.
+      Σerr² is carried as two int32 halves (hi*2^15 + lo — TPU lanes have
+      no int64); the exact integer recombines on host, so
+      `frames.psnr_from_stats(hi << 15 | combine.., H*W, frame_max)` equals
+      the host-side `image_psnr(comp, cur)` bit-for-bit — the GOP runner
+      uses them instead of fetching `comp`.
     """
 
     mv_y: jax.Array
     mv_x: jax.Array
     best_cost: jax.Array
     comp: jax.Array
-    sum_sq_err: jax.Array
+    sum_sq_hi: jax.Array
+    sum_sq_lo: jax.Array
     frame_max: jax.Array
 
 
@@ -122,22 +127,30 @@ def sharded_motion_step(
             py = y0 + jnp.arange(tile_h, dtype=jnp.int32)[:, None]
             px = x0 + jnp.arange(tile_w, dtype=jnp.int32)[None, :]
             in_frame = (py < frame_height) & (px < frame_width)
-            err = jnp.where(in_frame, comp - cur_t, 0).astype(jnp.float32)
-            sum_sq = jnp.sum(err * err)
+            err = jnp.where(in_frame, comp - cur_t, 0)
+            # Exact Σerr² without int64 (TPU int32 lanes): per-row int32
+            # sums (err² ≤ 255², so a row sum < 2^31 for tile_w < 33k),
+            # split into 15-bit halves and summed separately — each half
+            # sum stays < 2^31 for any realistic tile, and the host
+            # recombines hi*2^15 + lo into the exact integer.
+            row = jnp.sum(err * err, axis=1, dtype=jnp.int32)
+            sq_hi = jnp.sum(row >> 15, dtype=jnp.int32)
+            sq_lo = jnp.sum(row & 0x7FFF, dtype=jnp.int32)
             fmax = jnp.max(
                 jnp.where(in_frame, jnp.maximum(comp, cur_t), 0)
             )
             cost = (
                 field.score if metric == "ssim" else field.best_cost_i32
             )
-            return field.mv_y, field.mv_x, cost, comp, sum_sq, fmax
+            return field.mv_y, field.mv_x, cost, comp, sq_hi, sq_lo, fmax
 
-        mv_y, mv_x, cost, comp, sum_sq, fmax = jax.vmap(one_pair)(
+        mv_y, mv_x, cost, comp, sq_hi, sq_lo, fmax = jax.vmap(one_pair)(
             cur_l, ref_l
         )
-        sum_sq = jax.lax.psum(jax.lax.psum(sum_sq, "ty"), "tx")
+        sq_hi = jax.lax.psum(jax.lax.psum(sq_hi, "ty"), "tx")
+        sq_lo = jax.lax.psum(jax.lax.psum(sq_lo, "ty"), "tx")
         fmax = jax.lax.pmax(jax.lax.pmax(fmax, "ty"), "tx")
-        return mv_y, mv_x, cost, comp, sum_sq, fmax
+        return mv_y, mv_x, cost, comp, sq_hi, sq_lo, fmax
 
     spec_frame = P("dp", "ty", "tx")
     spec_scalar = P("dp")
@@ -150,7 +163,8 @@ def sharded_motion_step(
             spec_frame,      # mv_x
             spec_frame,      # cost
             spec_frame,      # comp  [B, hp, wp]
-            spec_scalar,     # sum_sq per batch element
+            spec_scalar,     # sum_sq hi half, per batch element
+            spec_scalar,     # sum_sq lo half
             spec_scalar,     # frame max
         ),
         check_vma=False,  # scan carries inside mix unvarying inits with

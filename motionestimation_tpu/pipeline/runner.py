@@ -121,9 +121,13 @@ def _search_fn(config: SearchConfig, backend: str):
         fence = (
             jnp.sum(field.mv_y) + jnp.sum(field.mv_x) + jnp.sum(comp[0])
         )
-        # Compensated pixels are gathered reference pixels (0..255):
-        # ship them D2H as u8 — 4x less readback traffic, exact.
-        return field, comp.astype(jnp.uint8), fence
+        # Compensated pixels are gathered reference pixels: when the input
+        # is u8 they fit u8, so ship them D2H as u8 — 4x less readback
+        # traffic, exact. >8-bit int32 frames (PSNR supports them) keep
+        # int32 to avoid a silent mod-256 wrap.
+        if cur.dtype == jnp.uint8:
+            comp = comp.astype(jnp.uint8)
+        return field, comp, fence
 
     return step
 
@@ -350,10 +354,17 @@ def run_gop_sharded(
         mv_y = np.asarray(res.mv_y)[:, :nby, :nbx]
         mv_x = np.asarray(res.mv_x)[:, :nby, :nbx]
         cost = np.asarray(res.best_cost)[:, :nby, :nbx]
-        comp = np.asarray(res.comp)[:, :h, :w]
+        # PSNR from the psum'd exact device stats (Σerr² as two int32
+        # halves, observed max) — bit-identical to image_psnr(comp, cur)
+        # without fetching the [B, Hp, Wp] compensated frames D2H.
+        sq_hi = np.asarray(res.sum_sq_hi)
+        sq_lo = np.asarray(res.sum_sq_lo)
+        fmax = np.asarray(res.frame_max)
         for slot, i in enumerate(chunk):
-            psnr = frames_lib.image_psnr(
-                comp[slot], frame(i + 1).astype(np.int32)
+            psnr = frames_lib.psnr_from_stats(
+                (int(sq_hi[slot]) << 15) + int(sq_lo[slot]),
+                h * w,
+                fmax[slot],
             )
             np.savez(
                 _mv_dump_path(output_dir, i),

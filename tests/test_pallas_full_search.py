@@ -85,7 +85,7 @@ def test_pallas_unroll_dx_matches_golden(h, w, blk, span):
     golden = fs.full_search_frame(cur, ref, blk_dim=blk, span=span, metric="mse")
     pallas = full_search_frame_pallas(
         cur, ref, blk_dim=blk, span=span, tile=32, interpret=True,
-        unroll_dx=True,
+        unroll_dx=True, phase=False,
     )
     _assert_fields_equal(pallas, golden)
 
@@ -117,7 +117,7 @@ def test_pallas_roll_mode_matches_golden(h, w, blk, span):
     golden = fs.full_search_frame(cur, ref, blk_dim=blk, span=span, metric="mse")
     pallas = full_search_frame_pallas(
         cur, ref, blk_dim=blk, span=span, tile=32, interpret=True,
-        chunk_dx=0,
+        chunk_dx=0, phase=False,
     )
     _assert_fields_equal(pallas, golden)
 
@@ -166,6 +166,87 @@ def test_pallas_bf16_matches_golden(h, w, blk, span, chunk):
     golden = fs.full_search_frame(cur, ref, blk_dim=blk, span=span, metric="mse")
     pallas = full_search_frame_pallas(
         cur, ref, blk_dim=blk, span=span, tile=32, interpret=True,
-        operand_bf16=True, chunk_dx=chunk,
+        operand_bf16=True, chunk_dx=chunk, phase=False,
     )
     _assert_fields_equal(pallas, golden)
+
+
+@pytest.mark.parametrize(
+    "h,w,blk,span,metric",
+    [
+        (64, 96, 8, 4, "mse"),
+        (36, 52, 8, 5, "mse"),     # truncated edges
+        (36, 52, 8, 5, "sad"),
+        (64, 96, 16, 15, "mse"),   # key > int32 → lexicographic path
+        (64, 96, 16, 15, "sad"),   # SAD key fits → packed-key path
+        (33, 45, 4, 3, "sad"),
+        (40, 288, 8, 12, "mse"),   # CIF-ish width, deep span
+    ],
+)
+def test_pallas_phase_matches_golden(h, w, blk, span, metric):
+    """The phase-plane kernel (the default fast path) is bit-exact for
+    both MSE and SAD, across the packed-key and lexicographic argmins."""
+    rng = np.random.default_rng(h * 5 + w + blk + span + len(metric))
+    cur, ref = _random_pair(rng, h, w)
+    golden = fs.full_search_frame(
+        cur, ref, blk_dim=blk, span=span, metric=metric
+    )
+    pallas = full_search_frame_pallas(
+        cur, ref, blk_dim=blk, span=span, metric=metric, interpret=True,
+        phase=True,
+    )
+    _assert_fields_equal(pallas, golden)
+    np.testing.assert_allclose(
+        np.asarray(pallas.score), np.asarray(golden.score)
+    )
+
+
+def test_pallas_phase_tie_breaking():
+    """Constant frames: every cost ties at 0 → raster-first must win in
+    both packed-key and lexicographic argmin schemes."""
+    cur = np.full((64, 64), 77, np.uint8)
+    ref = np.full((64, 64), 77, np.uint8)
+    for blk, span, metric in [(8, 4, "mse"), (16, 15, "mse"), (8, 4, "sad")]:
+        golden = fs.full_search_frame(
+            cur, ref, blk_dim=blk, span=span, metric=metric
+        )
+        pallas = full_search_frame_pallas(
+            cur, ref, blk_dim=blk, span=span, metric=metric,
+            interpret=True, phase=True,
+        )
+        _assert_fields_equal(pallas, golden)
+
+
+def test_pallas_sad_legacy_int_path():
+    """SAD with phase=False routes through the exact int kernel."""
+    rng = np.random.default_rng(3)
+    cur, ref = _random_pair(rng, 36, 52)
+    golden = fs.full_search_frame(cur, ref, blk_dim=8, span=5, metric="sad")
+    pallas = full_search_frame_pallas(
+        cur, ref, blk_dim=8, span=5, metric="sad", interpret=True,
+        phase=False,
+    )
+    _assert_fields_equal(pallas, golden)
+
+
+def test_pallas_sad_wide_block_int_path():
+    """SAD at blk 32 (phase unsupported) uses the exact int kernel."""
+    rng = np.random.default_rng(4)
+    cur, ref = _random_pair(rng, 96, 128)
+    golden = fs.full_search_frame(cur, ref, blk_dim=32, span=5, metric="sad")
+    pallas = full_search_frame_pallas(
+        cur, ref, blk_dim=32, span=5, metric="sad", interpret=True,
+    )
+    _assert_fields_equal(pallas, golden)
+
+
+def test_pallas_phase_unsupported_raises():
+    cur = np.zeros((32, 32), np.uint8)
+    with pytest.raises(ValueError):
+        full_search_frame_pallas(
+            cur, cur, blk_dim=32, span=4, phase=True, interpret=True
+        )
+    with pytest.raises(ValueError):
+        full_search_frame_pallas(
+            cur, cur, blk_dim=8, span=0, phase=True, interpret=True
+        )

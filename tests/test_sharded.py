@@ -92,10 +92,10 @@ def test_sharded_ssim_matches_unsharded():
     )
 
 
-def test_sharded_halo_wider_than_tile_rejected_or_exact():
-    """Halo wider than the neighbour tile would need multi-hop exchange;
-    the current single-hop exchange only supports span <= tile dims. Verify
-    we still get exact results when span == tile width."""
+def test_sharded_halo_span_equals_tile_width_exact():
+    """Exactness at the single-hop/multi-hop boundary: span == tile width
+    (one full neighbour tile of halo). Wider spans are covered by
+    test_multihop_halo_matches_unsharded below."""
     rng = np.random.default_rng(7)
     mesh = make_mesh(1, 1, 4)
     cur, ref = _random_pair(rng, 32, 128)  # tiles 32 wide
@@ -135,3 +135,29 @@ def test_multihop_halo_matches_unsharded(ty, tx, h, w, blk, span):
     np.testing.assert_array_equal(
         np.asarray(cost), np.asarray(golden.best_cost_i32)
     )
+
+
+def test_sharded_psnr_stats_bit_exact():
+    """The psum'd int32 hi/lo Σerr² halves recombine to the exact integer
+    and psnr_from_stats equals the host image_psnr bit-for-bit."""
+    from motionestimation_tpu.core import frames as frames_lib
+
+    rng = np.random.default_rng(99)
+    h, w, blk, span = 70, 100, 8, 5  # truncated edges included
+    mesh = make_mesh(1, 2, 2)
+    cur, ref = _random_pair(rng, h, w)
+    res = sharded_motion_step(
+        cur[None], ref[None], mesh=mesh, blk_dim=blk, span=span,
+        metric="mse", frame_height=h, frame_width=w,
+    )
+    comp = np.asarray(res.comp)[0, :h, :w]
+    want = frames_lib.image_psnr(comp, cur.astype(np.int32))
+    total = (int(np.asarray(res.sum_sq_hi)[0]) << 15) + int(
+        np.asarray(res.sum_sq_lo)[0]
+    )
+    err = comp.astype(np.int64) - cur.astype(np.int64)
+    assert total == int(np.sum(err * err))
+    got = frames_lib.psnr_from_stats(
+        total, h * w, int(np.asarray(res.frame_max)[0])
+    )
+    assert got == want
