@@ -723,6 +723,8 @@ def _phase_key_fits(blk_dim: int, span: int, metric: str) -> bool:
 
 
 def _kernel_phase(
+    org_ref,          # [2] i32, SMEM: (y_origin, x_origin) — dynamic so the
+                      #   same program serves every shard under shard_map
     ref_hbm,          # [rows, halo_w] f32, HBM: span-padded reference panel
     cur_ref,          # [TH, W] f32, VMEM stripe (TH = 8*blk)
     cost_out,         # [8, W] i32 block of [Hp2/b, W]
@@ -740,7 +742,6 @@ def _kernel_phase(
     span: int,
     frame_height: int,
     frame_width: int,
-    x_origin: int,
     metric: str,
     use_key: bool,
 ):
@@ -800,7 +801,7 @@ def _kernel_phase(
 
     row = lax.broadcasted_iota(jnp.int32, (k * g, 1), 0)
     dyv = row // g
-    tl_y = y0 + (row % g) * blk_dim
+    tl_y = org_ref[0] + y0 + (row % g) * blk_dim
     ok_y = (tl_y + dyv - span >= 0) & (
         tl_y + dyv - span <= frame_height - blk_dim
     )
@@ -814,7 +815,7 @@ def _kernel_phase(
         precision=lax.Precision.HIGHEST,
     )
 
-    tl_x = x_origin + lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
+    tl_x = org_ref[1] + lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
 
     def dx_body(j, _):
         d_x = j - span
@@ -874,23 +875,27 @@ def _kernel_phase(
     jax.jit,
     static_argnames=(
         "blk_dim", "span", "frame_height", "frame_width",
-        "x_origin", "metric", "interpret",
+        "metric", "interpret",
     ),
 )
 def _run_phase(
     cur_padded,
     ref_padded,
+    origins,
     *,
     blk_dim: int,
     span: int,
     frame_height: int,
     frame_width: int,
-    x_origin: int,
     metric: str,
     interpret: bool,
 ):
     """Phase-plane search over a padded f32 panel. Returns block-grid
-    (cost_i32, idx) for interior blocks."""
+    (cost_i32, idx) for interior blocks.
+
+    origins: int32 [2] = (y_origin, x_origin) of the panel's top-left in
+    global frame coordinates — a *traced* value (SMEM scalar input), so
+    one compiled program serves every shard of a `shard_map` mesh."""
     hp2, wp2 = cur_padded.shape
     g = 8
     tile_h = g * blk_dim
@@ -903,13 +908,14 @@ def _run_phase(
         _kernel_phase,
         blk_dim=blk_dim, span=span,
         frame_height=frame_height, frame_width=frame_width,
-        x_origin=x_origin, metric=metric, use_key=use_key,
+        metric=metric, use_key=use_key,
     )
     n_stripes = hp2 // tile_h
     cost_px, idx_px = pl.pallas_call(
         kernel,
         grid=(n_stripes,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tile_h, wp2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -936,7 +942,7 @@ def _run_phase(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(ref_padded, cur_padded)
+    )(origins.astype(jnp.int32), ref_padded, cur_padded)
     return cost_px[:, ::blk_dim], idx_px[:, ::blk_dim]
 
 
@@ -1444,14 +1450,22 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
             out_rows=hp2 + halo_row_pad, out_cols=halo_w,
             offset_r=0, offset_c=0, dtype=dtype,
         )
+        if use_phase:
+            s, i = _run_phase(
+                cur_p, ref_p, jnp.array([0, x0], jnp.int32),
+                blk_dim=blk_dim, span=span,
+                frame_height=frame_height, frame_width=frame_width,
+                metric=metric, interpret=interpret,
+            )
+            ssd_panels.append(s)
+            idx_panels.append(i)
+            continue
         kwargs = dict(
             blk_dim=blk_dim, span=span,
             frame_height=frame_height, frame_width=frame_width,
             x_origin=x0, interpret=interpret,
         )
-        if use_phase:
-            kwargs["metric"] = metric
-        elif use_f32:
+        if use_f32:
             kwargs["tile_h"] = tile_h
             kwargs["unroll_dx"] = unroll_dx
             kwargs["chunk_dx"] = chunk_dx
@@ -1498,6 +1512,88 @@ def _full_search_frame_jit(cur, ref, *, blk_dim, span, tile, interpret,
     else:
         score = cost_lib.mse_from_ssd(ssd, blk_h * blk_w)
     return fs.MotionField(mv_y, mv_x, ssd, score)
+
+
+def full_search_tile_pallas(
+    cur_tile,
+    ref_halo,
+    y_origin,
+    x_origin,
+    *,
+    frame_height: int,
+    frame_width: int,
+    blk_dim: int,
+    span: int,
+    metric: str = "mse",
+    interpret: bool = False,
+):
+    """Phase-kernel full search over one mesh shard's tile.
+
+    The shard_map analogue of the CUDA grid launch (main_mse.cu:212-223):
+    each shard runs this same compiled program on its own tile, with its
+    global origin supplied as a *traced* (y_origin, x_origin) pair — the
+    kernel reads it from SMEM, so one program serves every shard.
+
+    cur_tile: [th, tw] f32/int (th, tw multiples of blk_dim — the mesh
+      padding guarantees this); ref_halo: [th + 2*span, tw + 2*span], the
+      exchanged reference halo, row/col i ↔ tile row/col i - span, zero
+      outside the frame.
+
+    Returns block-grid (cost_i32, flat_idx), [th//blk, tw//blk] each,
+    exact for full blocks. Blocks truncated by the global frame edge
+    (frame_height/width % blk_dim) are NOT handled here — the sharded
+    driver repairs them with a golden thin-slab pass (sharded.py).
+    """
+    th, tw = cur_tile.shape
+    if th % blk_dim or tw % blk_dim:
+        raise ValueError(
+            f"tile dims must be multiples of blk_dim, got {th}x{tw}"
+        )
+    if not _phase_supported(blk_dim, span, metric):
+        raise ValueError(
+            f"phase kernel unsupported for blk_dim={blk_dim} span={span} "
+            f"metric={metric!r}"
+        )
+    tile_h = 8 * blk_dim
+    hp2 = _round_up(th, tile_h)
+    halo_row_pad = _round_up(2 * span, 8)
+    ref_rows = hp2 + halo_row_pad  # tile rows [-span, hp2+halo_row_pad-span)
+    panel_target = _phase_panel_target(blk_dim, span, metric)
+    cur_f = cur_tile.astype(jnp.float32)
+    ref_f = ref_halo.astype(jnp.float32)
+
+    cost_panels, idx_panels = [], []
+    for x0p, pw in _panel_widths(_round_up(tw, blk_dim), blk_dim,
+                                 panel_target):
+        halo_w = _round_up(pw + 2 * span, 128)
+        cur_p = _pad_slab(
+            cur_f, row_range=(0, hp2), col_range=(x0p, x0p + pw),
+            out_rows=hp2, out_cols=pw, offset_r=0, offset_c=0,
+            dtype=jnp.float32,
+        )
+        # ref_halo row/col i ↔ tile row/col i - span, so tile-range
+        # [x0p - span, …) starts at halo column x0p.
+        ref_p = _pad_slab(
+            ref_f, row_range=(0, ref_rows), col_range=(x0p, x0p + halo_w),
+            out_rows=ref_rows, out_cols=halo_w, offset_r=0, offset_c=0,
+            dtype=jnp.float32,
+        )
+        origins = jnp.stack(
+            [jnp.asarray(y_origin), jnp.asarray(x_origin) + x0p]
+        ).astype(jnp.int32)
+        c, i = _run_phase(
+            cur_p, ref_p, origins,
+            blk_dim=blk_dim, span=span,
+            frame_height=frame_height, frame_width=frame_width,
+            metric=metric, interpret=interpret,
+        )
+        cost_panels.append(c)
+        idx_panels.append(i)
+    cost = jnp.concatenate(cost_panels, axis=1)
+    idx = jnp.concatenate(idx_panels, axis=1)
+    return cost[: th // blk_dim, : tw // blk_dim], idx[
+        : th // blk_dim, : tw // blk_dim
+    ]
 
 
 def full_search_volume_pallas(

@@ -1,15 +1,22 @@
 """SPMD motion estimation over a ("dp", "ty", "tx") mesh.
 
-The full step per shard: halo-exchange the reference tile, run the same
-`full_search_tile` the single-chip path runs (identical arithmetic —
-sharded == unsharded is bit-exact by construction), motion-compensate from
-the halo, and psum the global residual statistics. The batch ("dp") axis
-shards frame pairs of a GOP.
+The full step per shard: halo-exchange the reference tile, run the fused
+phase-plane Pallas search on the local tile (the same kernel the
+single-chip path runs — the shard's global origin is fed to the kernel as
+a traced SMEM scalar, so one compiled program serves every shard), then
+motion-compensate from the halo. Blocks truncated by the global frame
+edge are repaired with a golden thin-slab pass outside the shard_map
+(plain XLA, partitioned automatically), and the exact residual statistics
+are reduced over the sharded result. sharded == unsharded stays bit-exact
+by construction; `backend="golden"` keeps the pure-XLA tile search for
+cross-checking (and is the SSIM path).
 
 This is the TPU-native replacement for what the reference doesn't have:
 it is single-process, single-device (SURVEY.md §2 "parallelism
 strategies"); scaling here = spatial tile parallelism with ICI halo
-exchange + batch parallelism, per the BASELINE.json north star.
+exchange + batch parallelism, per the BASELINE.json north star. The
+per-shard Pallas launch is the mesh analogue of the CUDA grid launch at
+/root/reference/src/gpu/main_mse.cu:212-223.
 """
 from __future__ import annotations
 
@@ -22,6 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from motionestimation_tpu.core import geometry
+from motionestimation_tpu.kernels import full_search_pallas as kp
 from motionestimation_tpu.parallel import halo as halo_lib
 from motionestimation_tpu.search import full_search as fs
 
@@ -30,15 +38,15 @@ class ShardedStepResult(NamedTuple):
     """Batched, sharded results of one motion-estimation step.
 
     mv_y / mv_x: [B, nby, nbx] int32, sharded (dp, ty, tx)
-    best_cost:   [B, nby, nbx] int32 (SSD) or float32 (SSIM score)
+    best_cost:   [B, nby, nbx] int32 (SSD/SAD) or float32 (SSIM score)
     comp:        [B, Hp, Wp] int32 motion-compensated frames
-    sum_sq_hi / sum_sq_lo / frame_max: per-batch PSNR statistics, psum /
-      pmax'd over the spatial mesh, computed over true frame pixels only.
-      Σerr² is carried as two int32 halves (hi*2^15 + lo — TPU lanes have
-      no int64); the exact integer recombines on host, so
-      `frames.psnr_from_stats(hi << 15 | combine.., H*W, frame_max)` equals
-      the host-side `image_psnr(comp, cur)` bit-for-bit — the GOP runner
-      uses them instead of fetching `comp`.
+    sum_sq_hi / sum_sq_lo / frame_max: per-batch PSNR statistics, reduced
+      over the mesh, computed over true frame pixels only. Σerr² is
+      carried as two int32 halves (hi*2^15 + lo — TPU lanes have no
+      int64); the exact integer recombines on host, so
+      `frames.psnr_from_stats((hi << 15) + lo, H*W, frame_max)` equals the
+      host-side `image_psnr(comp, cur)` bit-for-bit — the GOP runner uses
+      them instead of fetching `comp`.
     """
 
     mv_y: jax.Array
@@ -66,10 +74,29 @@ def _pad_batch(x, hp, wp):
     return jnp.pad(x.astype(jnp.int32), ((0, 0), (0, hp - h), (0, wp - w)))
 
 
+def _resolve_backend(backend: str, blk_dim: int, span: int, metric: str):
+    if backend == "auto":
+        return (
+            "pallas"
+            if kp._phase_supported(blk_dim, span, metric)
+            else "golden"
+        )
+    if backend == "pallas" and not kp._phase_supported(
+        blk_dim, span, metric
+    ):
+        raise ValueError(
+            f"pallas sharded backend unsupported for blk_dim={blk_dim} "
+            f"span={span} metric={metric!r}"
+        )
+    if backend not in ("pallas", "golden"):
+        raise ValueError(f"unknown sharded backend {backend!r}")
+    return backend
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "blk_dim", "span", "metric",
-                     "frame_height", "frame_width"),
+                     "frame_height", "frame_width", "backend"),
 )
 def sharded_motion_step(
     cur_batch,
@@ -81,22 +108,33 @@ def sharded_motion_step(
     metric: str = "mse",
     frame_height: int,
     frame_width: int,
+    backend: str = "auto",
 ):
     """One full motion-estimation step for a batch of frame pairs.
 
     cur_batch / ref_batch: [B, H, W] u8/int32 (host or device). B must be
     divisible by mesh dp. Returns a ShardedStepResult.
 
+    backend: "pallas" (fused phase kernel per shard — the production
+    path), "golden" (pure-XLA tile search, bit-identical, used for SSIM
+    and cross-checks), or "auto" (pallas whenever the kernel supports the
+    config).
+
     This is the function the multi-chip dry-run jits over the mesh: search
     + halo exchange + compensation + metric reduction in one program.
     """
+    backend = _resolve_backend(backend, blk_dim, span, metric)
     ty = mesh.shape["ty"]
     tx = mesh.shape["tx"]
     hp, wp = padded_dims_for_mesh(frame_height, frame_width, blk_dim, mesh)
+    nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
     cur_p = _pad_batch(cur_batch, hp, wp)
     ref_p = _pad_batch(ref_batch, hp, wp)
 
     tile_h, tile_w = hp // ty, wp // tx
+    # Interpret-mode Pallas off-TPU so the virtual CPU mesh (tests,
+    # multi-chip dry-run) executes the same program structure.
+    interpret = mesh.devices.flat[0].platform != "tpu"
 
     def step(cur_l, ref_l):
         # cur_l/ref_l: [B_l, tile_h, tile_w] local shard.
@@ -109,68 +147,113 @@ def sharded_motion_step(
             ref_halo = halo_lib.halo_exchange_2d(
                 ref_t, span, ty_size=ty, tx_size=tx
             )
-            field = fs.full_search_tile(
-                cur_t,
-                ref_halo,
-                y0,
-                x0,
-                frame_height=frame_height,
-                frame_width=frame_width,
-                blk_dim=blk_dim,
-                span=span,
-                metric=metric,
-            )
+            if backend == "pallas":
+                cost, idx = kp.full_search_tile_pallas(
+                    cur_t, ref_halo, y0, x0,
+                    frame_height=frame_height, frame_width=frame_width,
+                    blk_dim=blk_dim, span=span, metric=metric,
+                    interpret=interpret,
+                )
+                mv_y, mv_x = geometry.mv_from_flat_index(idx, span)
+            else:
+                field = fs.full_search_tile(
+                    cur_t, ref_halo, y0, x0,
+                    frame_height=frame_height, frame_width=frame_width,
+                    blk_dim=blk_dim, span=span, metric=metric,
+                )
+                mv_y, mv_x = field.mv_y, field.mv_x
+                cost = (
+                    field.score if metric == "ssim"
+                    else field.best_cost_i32
+                )
             comp = fs.compensate_tile(
-                ref_halo, field.mv_y, field.mv_x, blk_dim=blk_dim, span=span
+                ref_halo, mv_y, mv_x, blk_dim=blk_dim, span=span
             )
-            # Residual stats over true frame pixels only.
-            py = y0 + jnp.arange(tile_h, dtype=jnp.int32)[:, None]
-            px = x0 + jnp.arange(tile_w, dtype=jnp.int32)[None, :]
-            in_frame = (py < frame_height) & (px < frame_width)
-            err = jnp.where(in_frame, comp - cur_t, 0)
-            # Exact Σerr² without int64 (TPU int32 lanes): per-row int32
-            # sums (err² ≤ 255², so a row sum < 2^31 for tile_w < 33k),
-            # split into 15-bit halves and summed separately — each half
-            # sum stays < 2^31 for any realistic tile, and the host
-            # recombines hi*2^15 + lo into the exact integer.
-            row = jnp.sum(err * err, axis=1, dtype=jnp.int32)
-            sq_hi = jnp.sum(row >> 15, dtype=jnp.int32)
-            sq_lo = jnp.sum(row & 0x7FFF, dtype=jnp.int32)
-            fmax = jnp.max(
-                jnp.where(in_frame, jnp.maximum(comp, cur_t), 0)
-            )
-            cost = (
-                field.score if metric == "ssim" else field.best_cost_i32
-            )
-            return field.mv_y, field.mv_x, cost, comp, sq_hi, sq_lo, fmax
+            return mv_y, mv_x, cost, comp
 
-        mv_y, mv_x, cost, comp, sq_hi, sq_lo, fmax = jax.vmap(one_pair)(
-            cur_l, ref_l
-        )
-        sq_hi = jax.lax.psum(jax.lax.psum(sq_hi, "ty"), "tx")
-        sq_lo = jax.lax.psum(jax.lax.psum(sq_lo, "ty"), "tx")
-        fmax = jax.lax.pmax(jax.lax.pmax(fmax, "ty"), "tx")
-        return mv_y, mv_x, cost, comp, sq_hi, sq_lo, fmax
+        return jax.vmap(one_pair)(cur_l, ref_l)
 
     spec_frame = P("dp", "ty", "tx")
-    spec_scalar = P("dp")
-    out = shard_map(
+    mv_y, mv_x, cost, comp = shard_map(
         step,
         mesh=mesh,
         in_specs=(spec_frame, spec_frame),
-        out_specs=(
-            spec_frame,      # mv_y  [B, nby, nbx]
-            spec_frame,      # mv_x
-            spec_frame,      # cost
-            spec_frame,      # comp  [B, hp, wp]
-            spec_scalar,     # sum_sq hi half, per batch element
-            spec_scalar,     # sum_sq lo half
-            spec_scalar,     # frame max
-        ),
+        out_specs=(spec_frame,) * 4,
         check_vma=False,  # scan carries inside mix unvarying inits with
         # varying updates; skip the varying-axes check
     )(cur_p, ref_p)
-    return ShardedStepResult(*out)
+
+    # --- Truncated-block repair (Pallas backend only; the golden tile
+    # search handles truncation natively via masks). The phase kernel
+    # assumes full blk×blk blocks, so the global last block row/column is
+    # recomputed with the golden scan on thin slabs — plain XLA on the
+    # sharded arrays, partitioned automatically (the slabs are a few
+    # hundred KB even at 4K).
+    if backend == "pallas" and (
+        frame_height % blk_dim or frame_width % blk_dim
+    ):
+        ref_halo_g = jnp.pad(
+            ref_p, ((0, 0), (span, span), (span, span))
+        )
+        if frame_height % blk_dim:
+            y_t = (nby - 1) * blk_dim
+            slab_cur = cur_p[:, y_t : y_t + blk_dim, :]
+            slab_ref = ref_halo_g[:, y_t : y_t + blk_dim + 2 * span, :]
+
+            def fix_row(c, r):
+                f = fs.full_search_tile(
+                    c, r, y_t, 0,
+                    frame_height=frame_height, frame_width=frame_width,
+                    blk_dim=blk_dim, span=span, metric=metric,
+                )
+                cm = fs.compensate_tile(
+                    r, f.mv_y, f.mv_x, blk_dim=blk_dim, span=span
+                )
+                return f.mv_y[0], f.mv_x[0], f.best_cost_i32[0], cm
+
+            fy, fx, fc, fcomp = jax.vmap(fix_row)(slab_cur, slab_ref)
+            mv_y = mv_y.at[:, nby - 1, :].set(fy)
+            mv_x = mv_x.at[:, nby - 1, :].set(fx)
+            cost = cost.at[:, nby - 1, :].set(fc)
+            comp = comp.at[:, y_t : y_t + blk_dim, :].set(fcomp)
+        if frame_width % blk_dim:
+            x_t = (nbx - 1) * blk_dim
+            slab_cur = cur_p[:, :, x_t : x_t + blk_dim]
+            slab_ref = ref_halo_g[:, :, x_t : x_t + blk_dim + 2 * span]
+
+            def fix_col(c, r):
+                f = fs.full_search_tile(
+                    c, r, 0, x_t,
+                    frame_height=frame_height, frame_width=frame_width,
+                    blk_dim=blk_dim, span=span, metric=metric,
+                )
+                cm = fs.compensate_tile(
+                    r, f.mv_y, f.mv_x, blk_dim=blk_dim, span=span
+                )
+                return f.mv_y[:, 0], f.mv_x[:, 0], f.best_cost_i32[:, 0], cm
+
+            fy, fx, fc, fcomp = jax.vmap(fix_col)(slab_cur, slab_ref)
+            mv_y = mv_y.at[:, :, nbx - 1].set(fy)
+            mv_x = mv_x.at[:, :, nbx - 1].set(fx)
+            cost = cost.at[:, :, nbx - 1].set(fc)
+            comp = comp.at[:, :, x_t : x_t + blk_dim].set(fcomp)
+
+    # --- Exact residual statistics over true frame pixels, on the sharded
+    # result (XLA inserts the cross-shard reductions). Σerr² without int64
+    # (TPU int32 lanes): per-row int32 sums (err² ≤ 255², so a row sum
+    # < 2^31 for W < 33k), split into 15-bit halves summed separately —
+    # each half sum stays < 2^31 — and recombined on host.
+    yy = jnp.arange(hp, dtype=jnp.int32)[None, :, None]
+    xx = jnp.arange(wp, dtype=jnp.int32)[None, None, :]
+    in_frame = (yy < frame_height) & (xx < frame_width)
+    err = jnp.where(in_frame, comp - cur_p, 0)
+    row = jnp.sum(err * err, axis=2, dtype=jnp.int32)
+    sq_hi = jnp.sum(row >> 15, axis=1, dtype=jnp.int32)
+    sq_lo = jnp.sum(row & 0x7FFF, axis=1, dtype=jnp.int32)
+    fmax = jnp.max(
+        jnp.where(in_frame, jnp.maximum(comp, cur_p), 0), axis=(1, 2)
+    )
+    return ShardedStepResult(mv_y, mv_x, cost, comp, sq_hi, sq_lo, fmax)
 
 
 def sharded_full_search(
@@ -181,6 +264,7 @@ def sharded_full_search(
     blk_dim: int,
     span: int,
     metric: str = "mse",
+    backend: str = "auto",
 ):
     """Single frame-pair convenience wrapper (batch of 1) returning a
     MotionField on the block grid plus the compensated frame, both global
@@ -190,6 +274,7 @@ def sharded_full_search(
         cur[None], ref[None],
         mesh=mesh, blk_dim=blk_dim, span=span, metric=metric,
         frame_height=frame_height, frame_width=frame_width,
+        backend=backend,
     )
     nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
     mv_y = res.mv_y[0, :nby, :nbx]
