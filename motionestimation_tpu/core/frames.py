@@ -95,6 +95,26 @@ def psnr_from_stats(sum_sq_err: int, count: int, max_val: int) -> float:
     return 20.0 * math.log10(int(max_val)) - 10.0 * math.log10(mse)
 
 
+def compensate_frame_np(
+    ref: np.ndarray, mv_y: np.ndarray, mv_x: np.ndarray, blk_dim: int
+) -> np.ndarray:
+    """Host-side motion compensation: comp[p] = ref[p + mv(block(p))]
+    (utils.c:102-134).
+
+    The reference reconstructs on the host from the fetched MV block list
+    (main_mse.cu:245-254) — mirrored here so the device ships only MVs
+    (~0.3 MB at 4K) instead of the 8.3 MB compensated frame. Bit-identical
+    to the device `compensate_frame` gather: valid full-search MVs keep
+    every gather in-frame.
+    """
+    h, w = ref.shape
+    mvy_px = np.repeat(np.repeat(mv_y, blk_dim, 0), blk_dim, 1)[:h, :w]
+    mvx_px = np.repeat(np.repeat(mv_x, blk_dim, 0), blk_dim, 1)[:h, :w]
+    yy = np.arange(h, dtype=np.int64)[:, None] + mvy_px
+    xx = np.arange(w, dtype=np.int64)[None, :] + mvx_px
+    return ref.astype(np.int32)[yy, xx]
+
+
 def residual_mse(a: np.ndarray, b: np.ndarray) -> float:
     """Mean squared residual between two frames (float64, the true value)."""
     d = a.astype(np.float64).ravel() - b.astype(np.float64).ravel()

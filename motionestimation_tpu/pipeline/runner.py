@@ -3,14 +3,16 @@
 TPU-native replacement for the reference drivers' main() bodies
 (/root/reference/src/cpu/main.c:109-179, src/gpu/main_mse.cu:145-286):
 host frames are staged to HBM (the analogue of the pinned-host
-cudaMemcpy H2D at main_mse.cu:202-207), one jitted program runs search +
-compensation on device, and results are fetched back for scoring and the
-5-frame stacked artifact. The timing split mirrors the reference's
-machine-parsable `total h2d kernel d2h psnr` row (main_mse.cu:255).
+cudaMemcpy H2D at main_mse.cu:202-207), one jitted program runs the fused
+search on device, and only the packed MV field comes back — the
+reference, too, copies back just the block list and reconstructs /
+scores on the host (main_mse.cu:227, 245-254). The timing split mirrors
+the reference's machine-parsable `total h2d kernel d2h psnr` row
+(main_mse.cu:255).
 
 Timing caveat: on runtimes whose `block_until_ready` acks at enqueue (the
 axon tunnel), phase boundaries are enforced by fetching a phase-dependent
-scalar to host; the d2h phase is the `np.asarray` fetch of the outputs.
+scalar to host, which costs one tunnel round-trip (~30 ms) per phase.
 
 GOP mode processes a sequence of frames pairwise with double-buffered
 host->HBM prefetch (frame i+1 is staged while pair i computes) and dumps
@@ -132,6 +134,68 @@ def _search_fn(config: SearchConfig, backend: str):
     return step
 
 
+@functools.lru_cache(maxsize=64)
+def _pair_step_fn(config: SearchConfig, backend: str):
+    """Device program for the timed pair pipeline: search ONLY — the
+    reference copies back just the MV block list and reconstructs on the
+    host (main_mse.cu:227, 245-254), so the TPU pipeline does the same:
+    d2h is the packed MV field (int8 when |mv| <= 127), and compensation
+    / PSNR / scores are untimed host post-processing.
+    """
+    base = _search_fn(config, backend)
+
+    @jax.jit
+    def step(cur, ref):
+        field, _, _ = base(cur, ref)
+        mv_dtype = jnp.int8 if config.span <= 127 else jnp.int32
+        mv = jnp.stack([field.mv_y, field.mv_x]).astype(mv_dtype)
+        # Fence scalar: depends on the whole field so fetching it proves
+        # the search program ran to completion (cudaDeviceSynchronize
+        # analogue at main_mse.cu:224).
+        fence = (
+            jnp.sum(field.mv_y)
+            + jnp.sum(field.mv_x)
+            + jnp.sum(field.best_cost_i32)
+        )
+        return mv, field.best_cost_i32, field.score, fence
+
+    return step
+
+
+@functools.lru_cache(maxsize=64)
+def _gop_step_fn(config: SearchConfig, backend: str):
+    """Transfer-minimal GOP device program: search + compensate + PSNR
+    statistics on device; ships back only the packed MV field, the cost
+    grid, and three stat scalars (~0.8 MB at 4K blk 8 instead of the
+    8.3 MB compensated frame — the reference tunnel moves ~40 MB/s, so
+    the round-1 comp readback was the whole d2h pathology).
+    """
+    h, w = config.frame_height, config.frame_width
+    base = _search_fn(config, backend)
+
+    @jax.jit
+    def step(cur, ref):
+        field, comp, _ = base(cur, ref)
+        comp = comp.astype(jnp.int32)
+        cur_i = cur.astype(jnp.int32)
+        # Exact Σerr² as int32 hi/lo halves (see parallel/sharded.py).
+        err = comp - cur_i
+        row = jnp.sum(err * err, axis=1, dtype=jnp.int32)
+        sq_hi = jnp.sum(row >> 15, dtype=jnp.int32)
+        sq_lo = jnp.sum(row & 0x7FFF, dtype=jnp.int32)
+        fmax = jnp.max(jnp.maximum(comp, cur_i))
+        # |mv| <= span: int8 when it fits (4x less readback).
+        mv_dtype = jnp.int8 if config.span <= 127 else jnp.int32
+        mv = jnp.stack([field.mv_y, field.mv_x]).astype(mv_dtype)
+        cost = (
+            field.score if config.metric == "ssim"
+            else field.best_cost_i32
+        )
+        return mv, cost, sq_hi, sq_lo, fmax
+
+    return step
+
+
 def run_pair(
     cur: np.ndarray,
     ref: np.ndarray,
@@ -140,9 +204,18 @@ def run_pair(
     backend: str = "auto",
     _step=None,
 ) -> PairResult:
-    """Run one frame pair end to end with a 4-phase timing split."""
+    """Run one frame pair end to end with a 4-phase timing split.
+
+    Phase semantics mirror the reference GPU driver (main_mse.cu:202-229):
+    h2d = staging both frames to HBM, kernel = the fused search program,
+    d2h = fetching the packed MV field (the reference's block-list copy).
+    Compensation, PSNR, and scores are untimed host post-processing, as
+    in the reference (main_mse.cu:245-254). Note: phase fences on this
+    host cost one tunnel round-trip (~30 ms) each, which inflates every
+    phase vs the local-PCIe reference — the timing rows record it.
+    """
     backend = select_backend(backend)
-    step = _step if _step is not None else _search_fn(config, backend)
+    step = _step if _step is not None else _pair_step_fn(config, backend)
 
     t0 = time.perf_counter()
     cur_d = jax.device_put(jnp.asarray(cur))
@@ -151,14 +224,20 @@ def run_pair(
     int(jnp.sum(cur_d[0], dtype=jnp.int32) + jnp.sum(ref_d[0], dtype=jnp.int32))
     t1 = time.perf_counter()
 
-    field_d, comp_d, fence = step(cur_d, ref_d)
+    mv_d, cost_d, score_d, fence = step(cur_d, ref_d)
     int(fence)  # fence the device program
     t2 = time.perf_counter()
 
-    field = MotionField(*(np.asarray(x) for x in field_d))
-    comp = np.asarray(comp_d).astype(np.int32)
+    mv = np.asarray(mv_d)
     t3 = time.perf_counter()
 
+    # Host post-processing (untimed, reference parity).
+    mv_y = mv[0].astype(np.int32)
+    mv_x = mv[1].astype(np.int32)
+    field = MotionField(
+        mv_y, mv_x, np.asarray(cost_d), np.asarray(score_d)
+    )
+    comp = frames_lib.compensate_frame_np(ref, mv_y, mv_x, config.blk_dim)
     cur_i = cur.astype(np.int32)
     psnr = frames_lib.image_psnr(comp, cur_i)
     orig = frames_lib.residual_mse_c_float32(cur, ref)
@@ -215,9 +294,16 @@ def run_gop(
     Returns the list of dump paths (one per pair, including skipped).
     """
     backend = select_backend(backend)
-    step = _search_fn(config, backend)
+    step = _gop_step_fn(config, backend)
     os.makedirs(output_dir, exist_ok=True)
     h, w = config.frame_height, config.frame_width
+    blk = config.blk_dim
+    nby, nbx = geometry.grid_shape(h, w, blk)
+    # True (truncated) per-block pixel counts, for the host-side score
+    # (same float32 division as metrics.cost.mse_from_ssd).
+    bh = np.minimum(blk, h - np.arange(nby) * blk).astype(np.float32)
+    bw = np.minimum(blk, w - np.arange(nbx) * blk).astype(np.float32)
+    area = bh[:, None] * bw[None, :]
 
     paths = [os.fspath(p) for p in frame_paths]
     if len(paths) < 2:
@@ -249,31 +335,48 @@ def run_gop(
             staged[i] = jax.device_put(jnp.asarray(frame_host(i)))
         return staged[i]
 
+    def drain(i, outs):
+        mv, cost, sq_hi, sq_lo, fmax = (np.asarray(x) for x in outs)
+        psnr = frames_lib.psnr_from_stats(
+            (int(sq_hi) << 15) + int(sq_lo), h * w, int(fmax)
+        )
+        if config.metric == "ssim":
+            best_cost = score = cost
+        else:
+            best_cost, score = cost, cost.astype(np.float32) / area
+        np.savez(
+            _mv_dump_path(output_dir, i),
+            mv_y=mv[0].astype(np.int32),
+            mv_x=mv[1].astype(np.int32),
+            best_cost=best_cost,
+            score=score,
+            psnr=psnr,
+            cur=paths[i + 1],
+            ref=paths[i],
+        )
+        staged.pop(i, None)
+        host.pop(i, None)
+
+    # Software pipeline: dispatch pair n, start async D2H of its ~0.8 MB
+    # result, stage pair n+1's frames, and only then materialize pair
+    # n-1's result — compute, H2D, and D2H all overlap on the transfer
+    # link (which, not the chip, bounds end-to-end rate on this host).
+    inflight: list[tuple[int, tuple]] = []
     for n, i in enumerate(todo):
         cur_d, ref_d = frame_dev(i + 1), frame_dev(i)
-        field_d, comp_d, fence = step(cur_d, ref_d)
+        outs = step(cur_d, ref_d)
+        for a in outs:
+            a.copy_to_host_async()
+        inflight.append((i, outs))
         # Overlap: stage the next pair while this one computes.
         if n + 1 < len(todo):
             j = todo[n + 1]
             frame_dev(j)
             frame_dev(j + 1)
-        int(fence)
-        field = MotionField(*(np.asarray(x) for x in field_d))
-        comp = np.asarray(comp_d)
-        psnr = frames_lib.image_psnr(comp, frame_host(i + 1).astype(np.int32))
-        np.savez(
-            _mv_dump_path(output_dir, i),
-            mv_y=field.mv_y,
-            mv_x=field.mv_x,
-            best_cost=field.best_cost_i32,
-            score=field.score,
-            psnr=psnr,
-            cur=paths[i + 1],
-            ref=paths[i],
-        )
-        # Drop buffers no longer needed.
-        staged.pop(i, None)
-        host.pop(i, None)
+        if len(inflight) > 2:
+            drain(*inflight.pop(0))
+    for item in inflight:
+        drain(*item)
     return out
 
 

@@ -100,3 +100,27 @@ def test_run_gop_sharded_matches_single_device(tmp_path):
     runner.run_gop_sharded(gop, config, mesh=mesh, output_dir=shard)
     for p, t in m.items():
         assert (shard / p).stat().st_mtime == t
+
+
+def test_run_gop_psnr_matches_host_image_psnr(tmp_path):
+    """The GOP dump's stats-derived PSNR equals run_pair's host-side
+    image_psnr bit-for-bit (the transfer-minimal path loses nothing)."""
+    from motionestimation_tpu.core import frames as frames_lib
+    from motionestimation_tpu.core.config import SearchConfig
+    from motionestimation_tpu.pipeline import runner
+
+    frames_dir = "/root/reference/frames"
+    f1 = f"{frames_dir}/ForemanYF1.yuv"
+    f4 = f"{frames_dir}/ForemanYF4.yuv"
+    config = SearchConfig(
+        blk_dim=8, span=12, frame_width=352, frame_height=288
+    )
+    runner.run_gop([f1, f4], config, output_dir=tmp_path, backend="xla")
+    d = np.load(tmp_path / "mv_00000.npz")
+    cur = frames_lib.load_yuv(f4, 288, 352)
+    ref = frames_lib.load_yuv(f1, 288, 352)
+    pair = runner.run_pair(cur, ref, config, backend="xla")
+    assert float(d["psnr"]) == pair.psnr
+    np.testing.assert_array_equal(d["mv_y"], pair.field.mv_y)
+    np.testing.assert_array_equal(d["best_cost"], pair.field.best_cost_i32)
+    np.testing.assert_array_equal(d["score"], pair.field.score)
