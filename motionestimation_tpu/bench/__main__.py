@@ -76,7 +76,9 @@ def main(argv=None) -> int:
     p.add_argument("-v", "--version", type=int, required=True)
     p.add_argument("-b", "--blk-dim", type=int, default=8)
     p.add_argument("-s", "--span", type=int, default=12)
-    p.add_argument("--metric", choices=("mse", "ssim"), default="mse")
+    p.add_argument(
+        "--metric", choices=("mse", "sad", "ssim"), default="mse"
+    )
     p.add_argument(
         "--backend", choices=("auto", "xla", "pallas"), default="auto"
     )

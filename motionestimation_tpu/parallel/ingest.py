@@ -68,12 +68,13 @@ def local_row_range(mesh: Mesh, frame_rows: int) -> tuple[int, int]:
     """
     if jax.process_count() == 1:
         return 0, frame_rows
-    sharding = frame_sharding(mesh)
-    # Rows covered by this process's addressable shards of a [1, H, 1]
-    # array: derive from the addressable device index map.
+    # Rows covered by this process's addressable shards: derive from the
+    # index map of a row-only sharding (a full (dp, ty, tx) spec would
+    # demand the probe shape divide the tx axis too).
+    sharding = NamedSharding(mesh, P(None, "ty"))
     lo, hi = frame_rows, 0
     for d, idx in sharding.addressable_devices_indices_map(
-        (1, frame_rows, 1)
+        (1, frame_rows)
     ).items():
         rs = idx[1]
         lo = min(lo, rs.start if rs.start is not None else 0)

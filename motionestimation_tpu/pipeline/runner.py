@@ -88,12 +88,13 @@ def _search_fn(config: SearchConfig, backend: str):
                 cur, ref, blk_dim=config.blk_dim, span=config.span,
                 metric=config.metric,
             )
-    elif backend == "pallas" and config.metric == "mse":
+    elif backend == "pallas" and config.metric in ("mse", "sad"):
         from motionestimation_tpu.kernels import full_search_pallas as ker
 
         def run(cur, ref):
             return ker.full_search_frame_pallas(
-                cur, ref, blk_dim=config.blk_dim, span=config.span
+                cur, ref, blk_dim=config.blk_dim, span=config.span,
+                metric=config.metric,
             )
     elif backend == "pallas" and config.metric == "ssim":
         from motionestimation_tpu.kernels import ssim_pallas as ker
