@@ -188,6 +188,62 @@ def diamond_search_np(
 
 
 # ---------------------------------------------------------------------------
+# Static round plan for the lazy replay.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _round_plan(span: int, max_steps: int):
+    """Static fill/lookup schedule shared by every block.
+
+    The set of *possible* centers after t LDSP rounds is data-independent:
+    R_0 = {(0,0)}, R_{t+1} = clamp(R_t ⊕ LDSP). Round t can therefore only
+    ever look up displacements in R_{t+1} (LDSP around centers in R_t) and
+    — for blocks that converge this round — SDSP around centers in
+    R_{t+1}. Those sets are the per-round fill groups; the lazy replay
+    computes cost planes group by group and skips the whole round (fill
+    included) once every block has converged, so the evaluated-candidate
+    count tracks the *actual* trajectory depth instead of the full (2s+1)²
+    window.
+
+    Returns (groups, radii, sdsp_radius):
+      groups[t]: sorted flat displacement indices to evaluate before
+        round t (group 0 additionally seeds the (0,0) start),
+      radii[t]: Chebyshev radius bounding every round-t lookup,
+      sdsp_radius: radius bounding the post-loop SDSP lookups.
+    """
+    k = 2 * span + 1
+
+    def clamped(ps):
+        return {
+            (y, x) for (y, x) in ps if abs(y) <= span and abs(x) <= span
+        }
+
+    def flat(p):
+        return (p[0] + span) * k + (p[1] + span)
+
+    reach = {(0, 0)}
+    filled: set = set()
+    groups, radii = [], []
+    for _ in range(max_steps):
+        r_c = max((max(abs(y), abs(x)) for y, x in reach), default=0)
+        radii.append(min(r_c + 2, span))
+        nxt = clamped(
+            {(y + oy, x + ox) for (y, x) in reach for oy, ox in LDSP}
+        )
+        need = nxt | clamped(
+            {(y + oy, x + ox) for (y, x) in nxt for oy, ox in SDSP}
+        )
+        groups.append(tuple(sorted(flat(p) for p in need - filled)))
+        filled |= need
+        reach = nxt
+    sdsp_radius = min(
+        max((max(abs(y), abs(x)) for y, x in reach), default=0) + 1, span
+    )
+    return tuple(groups), tuple(radii), sdsp_radius
+
+
+# ---------------------------------------------------------------------------
 # Batched JAX version.
 # ---------------------------------------------------------------------------
 
@@ -358,6 +414,199 @@ def _diamond_replay(
     return field, traj
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "blk_dim", "span", "metric", "early_term", "max_steps",
+        "record_trajectory", "frame_height", "frame_width",
+    ),
+)
+def _diamond_lazy(
+    cur_p,
+    ref_halo,
+    *,
+    blk_dim: int,
+    span: int,
+    metric: str,
+    early_term,
+    max_steps: int,
+    record_trajectory: bool,
+    frame_height: int,
+    frame_width: int,
+):
+    """Lazy diamond replay: evaluate only reachable candidates, round by
+    round.
+
+    The work-efficient TPU formulation (round-2 verdict item 2): instead
+    of materialising the full [K², nby, nbx] cost volume (2.1 GB of HBM
+    traffic at 4K ±31 blk 8) and replaying over it, cost planes are
+    computed lazily — before round t, one `lax.scan` over the round's
+    static fill group (see `_round_plan`) evaluates those displacement
+    planes with the *same* `make_displacement_cost` closure the golden
+    full search uses (bit-identical costs ⇒ identical trajectories), and
+    the whole round, fill included, is skipped by `lax.cond` once every
+    block has converged or early-terminated. Lookups of per-block centers
+    stay gather-free: a one-hot over the round's radius-capped subvolume
+    times statically shifted slices, exactly the `_diamond_replay`
+    scheme but on a (2r_t+1)² window instead of K².
+
+    Evaluated candidates therefore scale with the actual trajectory
+    depth t*: O(t*²) planes instead of K², which is what makes diamond
+    *cheaper* than full search (the full-volume replay computed strictly
+    more).
+    """
+    hp, wp = cur_p.shape
+    nby, nbx = hp // blk_dim, wp // blk_dim
+    minimise = metric in ("mse", "sad")
+    k = 2 * span + 1
+
+    disp_cost = fs.make_displacement_cost(
+        cur_p, ref_halo, 0, 0,
+        frame_height=frame_height, frame_width=frame_width,
+        blk_dim=blk_dim, span=span, metric=metric,
+    )
+    groups, radii, sdsp_radius = _round_plan(span, max_steps)
+
+    if minimise:
+        sentinel = jnp.int32(cost_lib.INT32_MAX)
+        zero = jnp.int32(0)
+        dtype = jnp.int32
+    else:
+        sentinel = jnp.float32(-jnp.inf)
+        zero = jnp.float32(0)
+        dtype = jnp.float32
+    vol = jnp.full((k * k, nby, nbx), sentinel, dtype)
+
+    def fill(vol, idxs):
+        def body(v, idx):
+            c = disp_cost(idx)
+            return (
+                lax.dynamic_update_slice(v, c[None], (idx, 0, 0)),
+                None,
+            )
+
+        v, _ = lax.scan(body, vol, jnp.asarray(idxs, jnp.int32))
+        return v
+
+    def lookup(vol, cy, cx, offsets, radius):
+        """Costs of center+offset per block over the radius-capped
+        subvolume; out-of-window lookups yield the sentinel. Centers are
+        bounded by radius-2 (static round plan), so every in-window
+        center+offset stays inside the subwindow."""
+        m = 2 * radius + 1
+        sub = lax.slice(
+            vol.reshape(k, k, nby, nbx),
+            (span - radius, span - radius, 0, 0),
+            (span + radius + 1, span + radius + 1, nby, nbx),
+        ).reshape(m * m, nby, nbx)
+        pad = 2 * m + 2
+        sub_p = jnp.pad(
+            sub, ((pad, pad), (0, 0), (0, 0)), constant_values=sentinel
+        )
+        flat = (cy + radius) * m + (cx + radius)
+        onehot = (
+            lax.broadcasted_iota(jnp.int32, (m * m, nby, nbx), 0)
+            == flat[None]
+        )
+        outs = []
+        for o_y, o_x in offsets:
+            delta = o_y * m + o_x
+            v = lax.slice_in_dim(
+                sub_p, pad + delta, pad + delta + m * m, axis=0
+            )
+            c = jnp.sum(jnp.where(onehot, v, zero), axis=0)
+            # Horizontal steps off the window edge alias into the
+            # adjacent dy row — mask any out-of-window target uniformly.
+            ok = (jnp.abs(cy + o_y) <= span) & (jnp.abs(cx + o_x) <= span)
+            outs.append(jnp.where(ok, c, sentinel))
+        return outs
+
+    def better(c, best):
+        return (c < best) if minimise else (c > best)
+
+    def pattern_step(vol, cy, cx, ccost, offsets, radius):
+        offs = [o for o in offsets if o != (0, 0)]  # center is incumbent
+        costs = lookup(vol, cy, cx, offs, radius)
+        wy = jnp.zeros_like(cy)
+        wx = jnp.zeros_like(cx)
+        wc = ccost
+        for (o_y, o_x), c in zip(offs, costs):
+            take = better(c, wc)
+            wy = jnp.where(take, o_y, wy)
+            wx = jnp.where(take, o_x, wx)
+            wc = jnp.where(take, c, wc)
+        return wy, wx, wc
+
+    tl_y, tl_x, blk_h, blk_w = geometry.block_extents(
+        0, 0, nby, nbx, blk_dim, frame_height, frame_width
+    )
+    count = blk_h * blk_w
+
+    def early_mask(ccost):
+        if early_term is None:
+            return jnp.zeros(ccost.shape, bool)
+        if minimise:
+            per_px = ccost.astype(jnp.float32) / jnp.maximum(
+                count, 1
+            ).astype(jnp.float32)
+            return per_px <= jnp.float32(early_term)
+        return ccost >= jnp.float32(early_term)
+
+    vol = fill(vol, groups[0])
+    cy = jnp.zeros((nby, nbx), jnp.int32)
+    cx = jnp.zeros((nby, nbx), jnp.int32)
+    ccost = vol[span * k + span]
+    active = jnp.ones((nby, nbx), bool)
+    terminated = jnp.zeros((nby, nbx), bool)
+
+    state = (vol, cy, cx, ccost, active, terminated)
+    trajs = [jnp.zeros((nby, nbx, 2), jnp.int32)] if record_trajectory else None
+
+    for t in range(max_steps):
+
+        def round_fn(st, t=t):
+            vol, cy, cx, ccost, active, terminated = st
+            if t > 0 and groups[t]:
+                vol = fill(vol, groups[t])
+            hit = early_mask(ccost) & active
+            terminated = terminated | hit
+            active = active & ~hit
+            wy, wx, wc = pattern_step(vol, cy, cx, ccost, LDSP, radii[t])
+            moved = active & ((wy != 0) | (wx != 0))
+            active = active & moved
+            cy = jnp.where(moved, cy + wy, cy)
+            cx = jnp.where(moved, cx + wx, cx)
+            ccost = jnp.where(moved, wc, ccost)
+            return (vol, cy, cx, ccost, active, terminated)
+
+        state = lax.cond(jnp.any(state[4]), round_fn, lambda s: s, state)
+        if record_trajectory:
+            trajs.append(jnp.stack([state[1], state[2]], axis=-1))
+
+    vol, cy, cx, ccost, active, terminated = state
+    terminated = terminated | early_mask(ccost)
+
+    wy, wx, wc = pattern_step(vol, cy, cx, ccost, SDSP, sdsp_radius)
+    apply_sdsp = ~terminated
+    cy = jnp.where(apply_sdsp, cy + wy, cy)
+    cx = jnp.where(apply_sdsp, cx + wx, cx)
+    ccost = jnp.where(apply_sdsp, wc, ccost)
+
+    if minimise:
+        best = ccost.astype(jnp.int32)
+        mean = (
+            cost_lib.mse_from_ssd(best, count)
+            if metric == "mse"
+            else cost_lib.mad_from_sad(best, count)
+        )
+        field = MotionField(cy, cx, best, mean)
+    else:
+        flat = (cy + span) * k + (cx + span)
+        field = MotionField(cy, cx, flat, ccost)
+    traj = jnp.stack(trajs) if record_trajectory else None
+    return field, traj
+
+
 def diamond_search_frame(
     cur,
     ref,
@@ -368,8 +617,15 @@ def diamond_search_frame(
     early_term: float | None = None,
     max_steps: int | None = None,
     record_trajectory: bool = False,
+    volume_mode: str = "lazy",
 ):
     """Whole-frame diamond search. cur/ref: [H, W] u8/i32 arrays.
+
+    volume_mode: "lazy" (default — evaluate only diamond-reachable
+    candidates round by round, skipping converged rounds; the fast path)
+    or "full" (materialise the whole [K², nby, nbx] cost volume first and
+    replay over it; kept for cross-checking and as the Pallas-volume
+    consumer). Both produce identical MVs, costs, and trajectories.
 
     Returns a MotionField, or (MotionField, trajectory) when
     `record_trajectory` — trajectory [max_steps+1, nby, nbx, 2] matches
@@ -382,9 +638,26 @@ def diamond_search_frame(
         )
     if metric not in ("mse", "sad", "ssim"):
         raise ValueError(f"unknown metric {metric!r}")
+    if volume_mode not in ("lazy", "full"):
+        raise ValueError(f"unknown volume_mode {volume_mode!r}")
     frame_height, frame_width = cur.shape
     if max_steps is None:
         max_steps = default_max_steps(span)
+    if volume_mode == "lazy":
+        cur_p = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
+        ref_halo = fs.make_ref_halo(
+            ref, frame_height, frame_width, blk_dim, span
+        )
+        field, traj = _diamond_lazy(
+            cur_p, ref_halo,
+            blk_dim=blk_dim, span=span, metric=metric,
+            early_term=early_term, max_steps=max_steps,
+            record_trajectory=record_trajectory,
+            frame_height=frame_height, frame_width=frame_width,
+        )
+        if record_trajectory:
+            return field, traj
+        return field
     if metric == "mse" and blk_dim <= 16:
         # Fast Pallas cost volume (bit-exact vs the golden tile's).
         from motionestimation_tpu.kernels import full_search_pallas as ker

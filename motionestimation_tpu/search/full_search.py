@@ -73,6 +73,81 @@ def _tile_masks(tile_h, tile_w, y0, x0, frame_height, frame_width):
     return ((py < frame_height) & (px < frame_width)).astype(jnp.int32)
 
 
+def make_displacement_cost(
+    cur_tile,
+    ref_halo,
+    y0,
+    x0,
+    *,
+    frame_height: int,
+    frame_width: int,
+    blk_dim: int,
+    span: int,
+    metric: str,
+):
+    """Closure computing the per-block cost plane of one displacement.
+
+    The returned `displacement_cost(idx)` maps a flat raster displacement
+    index (idx = (d_y + span)*K + (d_x + span), traced or static) to the
+    [nby, nbx] per-block cost with reference semantics: truncated-extent
+    masking, true-pixel-count normalisation (main.c:27), window-clamp
+    validity (main.c:53-54, 73-76); invalid (block, displacement) pairs
+    get INT32_MAX (mse/sad) or -inf (ssim). This is the single source of
+    cost truth shared by the golden full search and the lazy diamond
+    replay (search/diamond.py), which keeps the two bit-identical.
+    """
+    tile_h, tile_w = cur_tile.shape
+    nby, nbx = tile_h // blk_dim, tile_w // blk_dim
+    k = 2 * span + 1
+    cur_tile = cur_tile.astype(jnp.int32)
+    ref_halo = ref_halo.astype(jnp.int32)
+    y0 = jnp.asarray(y0, jnp.int32)
+    x0 = jnp.asarray(x0, jnp.int32)
+    tl_y, tl_x, blk_h, blk_w = geometry.block_extents(
+        y0, x0, nby, nbx, blk_dim, frame_height, frame_width
+    )
+    count = blk_h * blk_w  # true (truncated) pixel count, main.c:27
+    pix_mask = _tile_masks(tile_h, tile_w, y0, x0, frame_height, frame_width)
+
+    if metric == "ssim":
+        # Current-block sums are displacement-independent (ssim.c:49,51).
+        cur_m = cur_tile * pix_mask
+        sum_cur = cost_lib.block_reduce(cur_m, blk_dim)
+        sum_sq_cur = cost_lib.block_reduce(cur_m * cur_m, blk_dim)
+
+    def displacement_cost(idx):
+        """Per-block cost for flat raster displacement index `idx`."""
+        d_y = idx // k - span
+        d_x = idx % k - span
+        win = lax.dynamic_slice(
+            ref_halo, (span + d_y, span + d_x), (tile_h, tile_w)
+        )
+        valid = geometry.displacement_valid(
+            d_y, d_x, tl_y, tl_x, blk_h, blk_w, frame_height, frame_width
+        )
+        if metric == "mse":
+            diff = (cur_tile - win) * pix_mask
+            ssd = cost_lib.block_reduce(diff * diff, blk_dim)
+            return jnp.where(valid, ssd, cost_lib.INT32_MAX)
+        elif metric == "sad":
+            diff = (cur_tile - win) * pix_mask
+            sad = cost_lib.block_reduce(jnp.abs(diff), blk_dim)
+            return jnp.where(valid, sad, cost_lib.INT32_MAX)
+        else:
+            win_m = win * pix_mask
+            sum_ref = cost_lib.block_reduce(win_m, blk_dim)
+            sum_sq_ref = cost_lib.block_reduce(win_m * win_m, blk_dim)
+            sum_cross = cost_lib.block_reduce(
+                win_m * (cur_tile * pix_mask), blk_dim
+            )
+            score = cost_lib.ssim_from_sums(
+                sum_ref, sum_sq_ref, sum_cur, sum_sq_cur, sum_cross, count
+            )
+            return jnp.where(valid, score, -jnp.inf)
+
+    return displacement_cost
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -135,39 +210,11 @@ def full_search_tile(
     count = blk_h * blk_w  # true (truncated) pixel count, main.c:27
     pix_mask = _tile_masks(tile_h, tile_w, y0, x0, frame_height, frame_width)
 
-    if metric == "ssim":
-        # Current-block sums are displacement-independent (ssim.c:49,51).
-        cur_m = cur_tile * pix_mask
-        sum_cur = cost_lib.block_reduce(cur_m, blk_dim)
-        sum_sq_cur = cost_lib.block_reduce(cur_m * cur_m, blk_dim)
-
-    def displacement_cost(idx):
-        """Per-block cost for flat raster displacement index `idx`."""
-        d_y = idx // k - span
-        d_x = idx % k - span
-        win = lax.dynamic_slice(
-            ref_halo, (span + d_y, span + d_x), (tile_h, tile_w)
-        )
-        valid = geometry.displacement_valid(
-            d_y, d_x, tl_y, tl_x, blk_h, blk_w, frame_height, frame_width
-        )
-        if metric == "mse":
-            diff = (cur_tile - win) * pix_mask
-            ssd = cost_lib.block_reduce(diff * diff, blk_dim)
-            return jnp.where(valid, ssd, cost_lib.INT32_MAX)
-        elif metric == "sad":
-            diff = (cur_tile - win) * pix_mask
-            sad = cost_lib.block_reduce(jnp.abs(diff), blk_dim)
-            return jnp.where(valid, sad, cost_lib.INT32_MAX)
-        else:
-            win_m = win * pix_mask
-            sum_ref = cost_lib.block_reduce(win_m, blk_dim)
-            sum_sq_ref = cost_lib.block_reduce(win_m * win_m, blk_dim)
-            sum_cross = cost_lib.block_reduce(win_m * (cur_tile * pix_mask), blk_dim)
-            score = cost_lib.ssim_from_sums(
-                sum_ref, sum_sq_ref, sum_cur, sum_sq_cur, sum_cross, count
-            )
-            return jnp.where(valid, score, -jnp.inf)
+    displacement_cost = make_displacement_cost(
+        cur_tile, ref_halo, y0, x0,
+        frame_height=frame_height, frame_width=frame_width,
+        blk_dim=blk_dim, span=span, metric=metric,
+    )
 
     if metric in ("mse", "sad"):
         init = (

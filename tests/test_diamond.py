@@ -87,3 +87,51 @@ def test_early_term_keeps_center():
     )
     assert (np.asarray(field.mv_y) == 0).all()
     assert (np.asarray(field.mv_x) == 0).all()
+
+
+@pytest.mark.parametrize("metric", ["mse", "sad", "ssim"])
+def test_lazy_equals_full_volume(metric):
+    """The lazy replay (round-by-round reachable-set fills) and the
+    full-volume replay produce identical MVs, costs, and trajectories."""
+    rng = np.random.default_rng(7)
+    cur, ref = _pair(rng, 48, 64, 3, -4)
+    kw = dict(blk_dim=8, span=7, metric=metric, record_trajectory=True)
+    f_lazy, t_lazy = diamond.diamond_search_frame(
+        cur, ref, volume_mode="lazy", **kw
+    )
+    f_full, t_full = diamond.diamond_search_frame(
+        cur, ref, volume_mode="full", **kw
+    )
+    np.testing.assert_array_equal(np.asarray(t_lazy), np.asarray(t_full))
+    np.testing.assert_array_equal(np.asarray(f_lazy.mv_y), np.asarray(f_full.mv_y))
+    np.testing.assert_array_equal(np.asarray(f_lazy.mv_x), np.asarray(f_full.mv_x))
+    np.testing.assert_array_equal(
+        np.asarray(f_lazy.best_cost_i32), np.asarray(f_full.best_cost_i32)
+    )
+
+
+def test_round_plan_covers_lookups():
+    """Every displacement a round can look up is filled by then, and the
+    radius caps bound every possible center."""
+    span, max_steps = 7, 9
+    groups, radii, sdsp_radius = diamond._round_plan(span, max_steps)
+    k = 2 * span + 1
+    filled = set()
+    reach = {(0, 0)}
+
+    def clamp(ps):
+        return {p for p in ps if abs(p[0]) <= span and abs(p[1]) <= span}
+
+    for t in range(max_steps):
+        filled |= set(groups[t])
+        r_c = max(max(abs(y), abs(x)) for y, x in reach)
+        assert radii[t] >= min(r_c + 2, span)
+        nxt = clamp({(y + oy, x + ox) for y, x in reach for oy, ox in diamond.LDSP})
+        for p in nxt:
+            assert (p[0] + span) * k + (p[1] + span) in filled
+        for p in clamp({(y + oy, x + ox) for y, x in nxt for oy, ox in diamond.SDSP}):
+            assert (p[0] + span) * k + (p[1] + span) in filled
+        reach = nxt
+    assert sdsp_radius >= min(
+        max(max(abs(y), abs(x)) for y, x in reach) + 1, span
+    )

@@ -298,7 +298,13 @@ def main():
         tile_h = int(parts[1]) if len(parts) > 1 else 128
         chunk = int(parts[2]) if len(parts) > 2 else 5
         try:
-            if v.startswith("P5"):
+            if v.startswith("P6"):
+                fn = lambda: float(run_p6(cur_d, ref_d, tile_h=tile_h,
+                                          bf16="B" in v))
+            elif v.startswith("P7"):
+                fn = lambda: float(run_p7(cur_d, ref_d, tile_h=tile_h,
+                                          sad="S" in v))
+            elif v.startswith("P5"):
                 fn = lambda: float(run_p5(cur_d, ref_d, tile_h=tile_h,
                                           sad="S" in v, bf16="B" in v))
             elif v.startswith("P4"):
@@ -860,6 +866,275 @@ def run_p5(cur_p, ref_p, *, tile_h, sad=False, bf16=False, nchain=CHAIN):
                 pltpu.VMEM((halo_rows, halo_w), jnp.float32),
                 pltpu.VMEM((tile_h, W), pdt),
                 pltpu.VMEM((n_phase * nby_t, halo_w), pdt),
+                pltpu.VMEM((K * nby_t, 1), jnp.int32),
+                pltpu.VMEM((K * nby_t, W), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(ref_p, cur_in)
+        kk = key[:, ::BLK]
+        flat = (kk % (K * K) + (2 ** 31) % (K * K)) % (K * K)
+        cost = (kk - flat + (2 ** 31) % (K * K)) // (K * K) + (
+            2 ** 31) // (K * K)
+        return jnp.sum(cost.astype(jnp.float32)) + jnp.sum(flat)
+
+    def step(carry, _):
+        out = call(cur_p + (carry - carry))
+        return out, out
+
+    last, _ = lax.scan(step, jnp.float32(0), None, length=nchain)
+    return last
+
+
+# ---------------------------------------------------------------------------
+# P6: cross-term phase kernel. SSD = (Qcur - X) + (S2E - X) with
+# X = slide(sum_r C_r * E_{r+dy}) — the chain is b mul+add (FMA-fusable)
+# terms instead of P4's b sub+square+add, at the price of the hoisted
+# Qcur/S2E buffers and one extra [K*g, halo_w] roll per dx. P6B stages
+# bf16 copies of the (f32-rolled) C/E planes once per dx to halve the
+# chain's VMEM read traffic (bf16 is exact for pixels <= 255; Mosaic
+# cannot roll bf16 on v5e, hence the stage-from-f32 dance).
+# ---------------------------------------------------------------------------
+
+def make_p6_kernel(tile_h, bf16=False):
+    nby_t = tile_h // BLK
+    halo_rows = _round_up(tile_h + 2 * SPAN, 8)
+    halo_w = _round_up(W + 2 * SPAN, 128)
+    n_phase = BLK + 2 * SPAN
+    g = nby_t
+    KK = K * K
+
+    def kernel(ref_hbm, cur_ref, key_out,
+               win_ref, c_ref, e_ref, s2e_ref, qcur_ref,
+               c16_ref, e16_ref, w_ref, oky_ref, bk2_ref, in_sem):
+        y0 = pl.program_id(0) * tile_h
+        copy_in = pltpu.make_async_copy(
+            ref_hbm.at[pl.ds(y0, halo_rows), :], win_ref, in_sem)
+        copy_in.start()
+
+        sel_sum = _sel(nby_t, tile_h, BLK, "sum")
+        pc = _perm(tile_h, tile_h,
+                   lambda i: (i % nby_t) * BLK + i // nby_t)
+        pe = _perm(n_phase * nby_t, halo_rows,
+                   lambda i: (i % nby_t) * BLK + i // nby_t)
+        ps2 = _perm(K * nby_t, halo_rows,
+                    lambda i: (i % nby_t) * BLK + i // nby_t)
+        pq = _perm(K * nby_t, nby_t, lambda i: i % nby_t)
+
+        cur = cur_ref[:]
+        qc = _sliding_sums(
+            jax.lax.dot(sel_sum, cur * cur,
+                        precision=lax.Precision.HIGHEST), BLK, axis=1)
+        qcur_ref[:] = jax.lax.dot(pq, qc, precision=lax.Precision.HIGHEST)
+        c_ref[:] = jax.lax.dot(pc, cur, precision=lax.Precision.HIGHEST)
+        if bf16:
+            c16_ref[:] = c_ref[:].astype(jnp.bfloat16)
+        bk2_ref[:] = jnp.full((K * nby_t, W), I32_MAX, jnp.int32)
+
+        row = lax.broadcasted_iota(jnp.int32, (K * nby_t, 1), 0)
+        dyv = row // g
+        tly = y0 + (row % g) * BLK
+        oky_ref[:] = jnp.where(
+            (tly + dyv - SPAN >= 0) & (tly + dyv - SPAN <= H - BLK),
+            dyv * K + KEY_BIAS, I32_MAX)
+
+        copy_in.wait()
+        win0 = win_ref[:]
+        s2val = _sliding_sums(
+            _sliding_sums(win0 * win0, BLK, axis=0), BLK, axis=1)
+        s2e_ref[:] = jax.lax.dot(ps2, s2val,
+                                 precision=lax.Precision.HIGHEST)
+        e_ref[:] = jax.lax.dot(pe, win0, precision=lax.Precision.HIGHEST)
+
+        tl_x = lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+        def dx_body(j, _):
+            d_x = j - SPAN
+            ok_x = (tl_x + d_x >= 0) & (tl_x + d_x <= W - BLK)
+            if bf16:
+                e16_ref[:] = e_ref[:].astype(jnp.bfloat16)
+            for dy in range(K):
+                acc = None
+                for r in range(BLK):
+                    p = dy + r
+                    if bf16:
+                        cs = c16_ref[r * g:(r + 1) * g, :].astype(
+                            jnp.float32)
+                        es = e16_ref[p * g:(p + 1) * g, 0:W].astype(
+                            jnp.float32)
+                    else:
+                        cs = c_ref[r * g:(r + 1) * g, :]
+                        es = e_ref[p * g:(p + 1) * g, 0:W]
+                    t = cs * es
+                    acc = t if acc is None else acc + t
+                w_ref[dy * g:(dy + 1) * g, :] = acc
+            x = _sliding_sums(w_ref[:], BLK, axis=1)
+            ssd = (qcur_ref[:] - x) + (s2e_ref[:, 0:W] - x)
+            key = ssd.astype(jnp.int32) * KK + (oky_ref[:] + j)
+            key = jnp.where(ok_x & (oky_ref[:] != I32_MAX), key, I32_MAX)
+            bk2_ref[:] = jnp.minimum(bk2_ref[:], key)
+            e_ref[:] = pltpu.roll(e_ref[:], halo_w - 1, 1)
+            s2e_ref[:] = pltpu.roll(s2e_ref[:], halo_w - 1, 1)
+            return 0
+
+        lax.fori_loop(0, K, dx_body, 0)
+        k2 = bk2_ref[:]
+        t = jnp.minimum(k2[0:12 * g, :], k2[12 * g:24 * g, :])
+        t = jnp.minimum(t[0:6 * g, :], t[6 * g:12 * g, :])
+        t = jnp.minimum(t[0:3 * g, :], t[3 * g:6 * g, :])
+        key_out[:] = jnp.minimum(
+            jnp.minimum(t[0:g, :], t[g:2 * g, :]),
+            jnp.minimum(t[2 * g:3 * g, :], k2[24 * g:25 * g, :]))
+
+    return kernel, nby_t, halo_rows, halo_w, n_phase
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "bf16", "nchain"))
+def run_p6(cur_p, ref_p, *, tile_h, bf16=False, nchain=CHAIN):
+    kernel, nby_t, halo_rows, halo_w, n_phase = make_p6_kernel(tile_h, bf16)
+    n_stripes = H // tile_h
+
+    def call(cur_in):
+        key = pl.pallas_call(
+            kernel,
+            grid=(n_stripes,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((tile_h, W), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nby_t, W), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H // BLK, W), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+                pltpu.VMEM((tile_h, W), jnp.float32),
+                pltpu.VMEM((n_phase * nby_t, halo_w), jnp.float32),
+                pltpu.VMEM((K * nby_t, halo_w), jnp.float32),
+                pltpu.VMEM((K * nby_t, W), jnp.float32),
+                pltpu.VMEM((tile_h, W) if bf16 else (16, 128),
+                           jnp.bfloat16),
+                pltpu.VMEM((n_phase * nby_t, halo_w) if bf16
+                           else (16, 128), jnp.bfloat16),
+                pltpu.VMEM((K * nby_t, W), jnp.float32),
+                pltpu.VMEM((K * nby_t, 1), jnp.int32),
+                pltpu.VMEM((K * nby_t, W), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(ref_p, cur_in)
+        kk = key[:, ::BLK]
+        flat = (kk % (K * K) + (2 ** 31) % (K * K)) % (K * K)
+        cost = (kk - flat + (2 ** 31) % (K * K)) // (K * K) + (
+            2 ** 31) // (K * K)
+        return jnp.sum(cost.astype(jnp.float32)) + jnp.sum(flat)
+
+    def step(carry, _):
+        out = call(cur_p + (carry - carry))
+        return out, out
+
+    last, _ = lax.scan(step, jnp.float32(0), None, length=nchain)
+    return last
+
+
+# ---------------------------------------------------------------------------
+# P7: P4's diff form with bf16-staged phase planes (stage from the f32
+# rolled buffers once per dx, as in P6B) — isolates the VMEM-read-traffic
+# effect on the diff chain.
+# ---------------------------------------------------------------------------
+
+def make_p7_kernel(tile_h, sad=False):
+    nby_t = tile_h // BLK
+    halo_rows = _round_up(tile_h + 2 * SPAN, 8)
+    halo_w = _round_up(W + 2 * SPAN, 128)
+    n_phase = BLK + 2 * SPAN
+    g = nby_t
+    KK = K * K
+
+    def kernel(ref_hbm, cur_ref, key_out,
+               win_ref, c16_ref, e_ref, e16_ref, w_ref,
+               oky_ref, bk2_ref, in_sem):
+        y0 = pl.program_id(0) * tile_h
+        copy_in = pltpu.make_async_copy(
+            ref_hbm.at[pl.ds(y0, halo_rows), :], win_ref, in_sem)
+        copy_in.start()
+
+        pc = _perm(tile_h, tile_h,
+                   lambda i: (i % nby_t) * BLK + i // nby_t)
+        pe = _perm(n_phase * nby_t, halo_rows,
+                   lambda i: (i % nby_t) * BLK + i // nby_t)
+        c16_ref[:] = jax.lax.dot(
+            pc, cur_ref[:], precision=lax.Precision.HIGHEST
+        ).astype(jnp.bfloat16)
+        bk2_ref[:] = jnp.full((K * nby_t, W), I32_MAX, jnp.int32)
+
+        row = lax.broadcasted_iota(jnp.int32, (K * nby_t, 1), 0)
+        dyv = row // g
+        tly = y0 + (row % g) * BLK
+        oky_ref[:] = jnp.where(
+            (tly + dyv - SPAN >= 0) & (tly + dyv - SPAN <= H - BLK),
+            dyv * K + KEY_BIAS, I32_MAX)
+
+        copy_in.wait()
+        e_ref[:] = jax.lax.dot(pe, win_ref[:],
+                               precision=lax.Precision.HIGHEST)
+
+        tl_x = lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+        def dx_body(j, _):
+            d_x = j - SPAN
+            ok_x = (tl_x + d_x >= 0) & (tl_x + d_x <= W - BLK)
+            e16_ref[:] = e_ref[:].astype(jnp.bfloat16)
+            for dy in range(K):
+                acc = None
+                for r in range(BLK):
+                    p = dy + r
+                    d = (c16_ref[r * g:(r + 1) * g, :].astype(jnp.float32)
+                         - e16_ref[p * g:(p + 1) * g, 0:W].astype(
+                             jnp.float32))
+                    t = jnp.abs(d) if sad else d * d
+                    acc = t if acc is None else acc + t
+                w_ref[dy * g:(dy + 1) * g, :] = acc
+            x = _sliding_sums(w_ref[:], BLK, axis=1)
+            key = x.astype(jnp.int32) * KK + (oky_ref[:] + j)
+            key = jnp.where(ok_x & (oky_ref[:] != I32_MAX), key, I32_MAX)
+            bk2_ref[:] = jnp.minimum(bk2_ref[:], key)
+            e_ref[:] = pltpu.roll(e_ref[:], halo_w - 1, 1)
+            return 0
+
+        lax.fori_loop(0, K, dx_body, 0)
+        k2 = bk2_ref[:]
+        t = jnp.minimum(k2[0:12 * g, :], k2[12 * g:24 * g, :])
+        t = jnp.minimum(t[0:6 * g, :], t[6 * g:12 * g, :])
+        t = jnp.minimum(t[0:3 * g, :], t[3 * g:6 * g, :])
+        key_out[:] = jnp.minimum(
+            jnp.minimum(t[0:g, :], t[g:2 * g, :]),
+            jnp.minimum(t[2 * g:3 * g, :], k2[24 * g:25 * g, :]))
+
+    return kernel, nby_t, halo_rows, halo_w, n_phase
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "sad", "nchain"))
+def run_p7(cur_p, ref_p, *, tile_h, sad=False, nchain=CHAIN):
+    kernel, nby_t, halo_rows, halo_w, n_phase = make_p7_kernel(tile_h, sad)
+    n_stripes = H // tile_h
+
+    def call(cur_in):
+        key = pl.pallas_call(
+            kernel,
+            grid=(n_stripes,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((tile_h, W), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nby_t, W), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H // BLK, W), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+                pltpu.VMEM((tile_h, W), jnp.bfloat16),
+                pltpu.VMEM((n_phase * nby_t, halo_w), jnp.float32),
+                pltpu.VMEM((n_phase * nby_t, halo_w), jnp.bfloat16),
+                pltpu.VMEM((K * nby_t, W), jnp.float32),
                 pltpu.VMEM((K * nby_t, 1), jnp.int32),
                 pltpu.VMEM((K * nby_t, W), jnp.int32),
                 pltpu.SemaphoreType.DMA,
