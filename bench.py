@@ -1,17 +1,35 @@
 """Benchmark: full-search motion estimation throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Config matches the reference's de-facto baseline (8x8 blocks, +-12 span,
 4K frame — /root/repo/BASELINE.md): GPU v5 kernel = 64.577 ms/frame
 (results/gpu/v5.txt:4), i.e. 2.007 M blocks/s. `vs_baseline` is the
 speedup of our per-frame search time over that kernel time (>1 = faster).
 
+Fields (labels are honest about what is timed — round-2 verdict item 7):
+  value / ms_per_frame / search_fps_4k — the fused search kernel only
+    (MV field reduced to a scalar on device; no compensation/readback),
+    the analogue of the reference's `kernel` column (main_mse.cu:255).
+  gop_fps_4k — END-TO-END pipelined rate: run_gop over a 17-frame 4K GOP
+    (host YUV load -> H2D -> search+compensate+PSNR stats on device ->
+    MV/stat readback -> npz dump), steady-state, overlap included.
+  north_star_* — BASELINE.json's 16x16 +-15 config, search-only.
+  diamond_1080p_ms / full_1080p_ms — BASELINE config 3: lazy diamond vs
+    full search at 1080p 16x16 +-15 on slow-motion content (diamond must
+    be cheaper; its advantage is content-dependent by design).
+  px_cand_per_s — achieved (pixel x candidate) diff evaluations/s, the
+    irreducible work unit of exact full search (H*W*K^2 per frame).
+  pct_of_roofline — px_cand_per_s against the chip's measured VPU
+    elementwise ceiling at 2 ops/diff (sub + fused multiply-add; see
+    docs/SPEED_OF_LIGHT.md and tools/vpu_peak.py for the derivation and
+    measurement of VPU_ROOFLINE_OPS).
+
 Timing technique: on the axon tunnel `jax.block_until_ready` returns at
-enqueue, not completion, so the benchmark chains B frame pairs through a
-sequential `lax.map` inside ONE jitted program, reduces the motion field
-to a scalar, and times the host fetch of that scalar — the only true
+enqueue, not completion, so search benchmarks chain B frame pairs through
+a sequential `lax.map` inside ONE jitted program, reduce the motion field
+to a scalar, and time the host fetch of that scalar — the only true
 device sync. The Jockey/Beauty 4K planes are stripped from the reference
 mount (.MISSING_LARGE_BLOBS), so frames are synthetic: random reference,
 current = shifted + noise (same arithmetic workload; full search is
@@ -21,15 +39,25 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
 
 BASELINE_KERNEL_MS = 64.577  # GPU v5, Jockey 4K, 8x8 +-12
+BASELINE_TOTAL_MS = 71.508   # GPU v5, Jockey 4K, end-to-end total
 H, W = 2160, 3840
 BLK, SPAN = 8, 12
 BATCH = 8
+GOP_FRAMES = 17
+
+# Measured sustained VPU elementwise throughput on this chip
+# (tools/vpu_peak.py, "mix" profile = the kernel's sub+FMA instruction
+# mix, 4 independent streams). See docs/SPEED_OF_LIGHT.md.
+VPU_ROOFLINE_OPS = 0.86e12
+OPS_PER_DIFF = 2.0  # sub + fused multiply-add per (pixel, candidate)
 
 
 def main():
@@ -55,41 +83,15 @@ def main():
         255,
     ).astype(np.uint8)
 
-    @jax.jit
-    def run_batch(curs, refs):
-        def one(cr):
-            f = _full_search_frame_jit(
-                cr[0], cr[1], blk_dim=BLK, span=SPAN, tile=128,
-                interpret=interpret,
-            )
-            return (
-                jnp.sum(f.best_cost_i32) + jnp.sum(f.mv_y) + jnp.sum(f.mv_x)
-            )
+    def search_time(h, w, blk, span, metric="mse"):
+        """Median per-frame ms for the fused search kernel (search only)."""
 
-        return jnp.sum(jax.lax.map(one, (curs, refs)))
-
-    cd = jax.device_put(jnp.asarray(curs))
-    rd = jax.device_put(jnp.asarray(refs))
-    jax.block_until_ready((cd, rd))
-
-    int(run_batch(cd, rd))  # compile + warmup
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        int(run_batch(cd, rd))  # host fetch = true sync
-        times.append((time.perf_counter() - t0) / BATCH)
-    ms_per_frame = float(np.median(times) * 1e3)
-    blocks = (H // BLK) * (W // BLK)
-    mblocks_s = blocks / (ms_per_frame * 1e-3) / 1e6
-
-    # North-star config (BASELINE.json): 16x16 full search +-15.
-    def ns_time(h, w, blk, span):
         @jax.jit
         def run(curs, refs):
             def one(cr):
                 f = _full_search_frame_jit(
                     cr[0][:h, :w], cr[1][:h, :w], blk_dim=blk, span=span,
-                    tile=128, interpret=interpret,
+                    tile=128, interpret=interpret, metric=metric,
                 )
                 return (
                     jnp.sum(f.best_cost_i32)
@@ -99,17 +101,116 @@ def main():
 
             return jnp.sum(jax.lax.map(one, (curs, refs)))
 
-        int(run(cd, rd))
+        cd = jax.device_put(jnp.asarray(curs))
+        rd = jax.device_put(jnp.asarray(refs))
+        jax.block_until_ready((cd, rd))
+        int(run(cd, rd))  # compile + warmup
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            int(run(cd, rd))
+            int(run(cd, rd))  # host fetch = true sync
             ts.append((time.perf_counter() - t0) / BATCH)
         return float(np.median(ts) * 1e3)
 
-    ns_4k = ns_time(2160, 3840, 16, 15)
-    ns_1080 = ns_time(1080, 1920, 16, 15)
+    ms_per_frame = search_time(H, W, BLK, SPAN)
+    blocks = (H // BLK) * (W // BLK)
+    mblocks_s = blocks / (ms_per_frame * 1e-3) / 1e6
+    k = 2 * SPAN + 1
+    px_cand_per_s = H * W * k * k / (ms_per_frame * 1e-3)
+    pct_roofline = (
+        100.0 * px_cand_per_s * OPS_PER_DIFF / VPU_ROOFLINE_OPS
+    )
+
+    # North-star config (BASELINE.json): 16x16 full search +-15.
+    ns_4k = search_time(2160, 3840, 16, 15)
+    ns_1080 = search_time(1080, 1920, 16, 15)
     ns_blocks_4k = (2160 // 16) * (3840 // 16)
+
+    # --- BASELINE config 3: diamond vs full search, 1080p, slow motion.
+    from motionestimation_tpu.search import diamond
+
+    hh, ww = 1080, 1920
+    small = rng.integers(0, 256, (hh // 8 + 2, ww // 8 + 2)).astype(
+        np.float64
+    )
+    d_ref = np.clip(
+        np.kron(small, np.ones((8, 8)))[:hh, :ww]
+        + rng.normal(0, 2, (hh, ww)),
+        0, 255,
+    ).astype(np.uint8)
+    d_cur = np.clip(
+        np.roll(d_ref, (1, -2), (0, 1)).astype(np.int32)
+        + rng.integers(-2, 3, (hh, ww)),
+        0, 255,
+    ).astype(np.uint8)
+    d_curs = np.stack(
+        [
+            np.clip(
+                d_cur.astype(np.int32) + rng.integers(-1, 2, (hh, ww)),
+                0, 255,
+            ).astype(np.uint8)
+            for _ in range(BATCH)
+        ]
+    )
+    d_refs = np.broadcast_to(d_ref, (BATCH, hh, ww)).copy()
+    dc = jax.device_put(jnp.asarray(d_curs))
+    dr = jax.device_put(jnp.asarray(d_refs))
+    jax.block_until_ready((dc, dr))
+
+    @jax.jit
+    def run_diamond(curs, refs):
+        # chained through lax.map like search_time: one device sync per
+        # BATCH frames, so the ~30 ms tunnel round trip amortizes away.
+        def one(cr):
+            f, _ = diamond._diamond_lazy(
+                cr[0], cr[1], blk_dim=16, span=15, metric="mse",
+                early_term=None, max_steps=17, record_trajectory=False,
+                frame_height=hh, frame_width=ww,
+            )
+            return (
+                jnp.sum(f.mv_y) + jnp.sum(f.mv_x) + jnp.sum(f.best_cost_i32)
+            )
+
+        return jnp.sum(jax.lax.map(one, (curs, refs)))
+
+    int(run_diamond(dc, dr))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(run_diamond(dc, dr))
+        ts.append((time.perf_counter() - t0) / BATCH)
+    diamond_ms = float(np.median(ts) * 1e3)
+    full_1080_ms = search_time(hh, ww, 16, 15)
+
+    # --- End-to-end pipelined GOP fps at 4K (run_gop steady state).
+    from motionestimation_tpu.core import frames as frames_lib
+    from motionestimation_tpu.core.config import SearchConfig
+    from motionestimation_tpu.pipeline import runner
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        prev = refs[0]
+        for i in range(GOP_FRAMES):
+            f = np.clip(
+                np.roll(prev, (1, -2), (0, 1)).astype(np.int32)
+                + rng.integers(-3, 4, (H, W)),
+                0, 255,
+            ).astype(np.uint8)
+            p = os.path.join(td, f"f{i:03d}.yuv")
+            frames_lib.save_yuv(p, f)
+            paths.append(p)
+            prev = f
+        config = SearchConfig(
+            blk_dim=BLK, span=SPAN, metric="mse",
+            frame_width=W, frame_height=H,
+        )
+        outdir = os.path.join(td, "out")
+        # warmup: compile + first pair
+        runner.run_gop(paths[:2], config, output_dir=outdir, resume=False)
+        t0 = time.perf_counter()
+        runner.run_gop(paths, config, output_dir=outdir, resume=False)
+        gop_s = time.perf_counter() - t0
+        gop_fps = (GOP_FRAMES - 1) / gop_s
 
     print(
         json.dumps(
@@ -120,12 +221,21 @@ def main():
                 "unit": "M blocks/s",
                 "vs_baseline": round(BASELINE_KERNEL_MS / ms_per_frame, 3),
                 "ms_per_frame": round(ms_per_frame, 3),
-                "fps_4k": round(1e3 / ms_per_frame, 2),
+                "search_fps_4k": round(1e3 / ms_per_frame, 2),
+                "px_cand_per_s": round(px_cand_per_s / 1e12, 3),
+                "px_cand_unit": "T diff/s",
+                "pct_of_roofline": round(pct_roofline, 1),
+                "gop_fps_4k": round(gop_fps, 2),
+                "gop_vs_baseline_total": round(
+                    gop_fps / (1e3 / BASELINE_TOTAL_MS), 2
+                ),
                 "north_star_16x16_s15_mblocks_s": round(
                     ns_blocks_4k / ns_4k / 1e3, 3
                 ),
-                "north_star_fps_4k": round(1e3 / ns_4k, 2),
-                "north_star_fps_1080p": round(1e3 / ns_1080, 2),
+                "north_star_search_fps_4k": round(1e3 / ns_4k, 2),
+                "north_star_search_fps_1080p": round(1e3 / ns_1080, 2),
+                "diamond_1080p_ms": round(diamond_ms, 3),
+                "full_search_1080p_ms": round(full_1080_ms, 3),
             }
         )
     )

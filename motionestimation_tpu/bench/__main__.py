@@ -80,6 +80,14 @@ def main(argv=None) -> int:
         "--metric", choices=("mse", "sad", "ssim"), default="mse"
     )
     p.add_argument(
+        "--algorithm", choices=("full", "diamond"), default="full",
+        help="search algorithm (diamond = LDSP/SDSP, BASELINE config 3)",
+    )
+    p.add_argument(
+        "--size", choices=("native", "1080p"), default="native",
+        help="1080p crops the 4K sequences to 1920x1080 (config 3)",
+    )
+    p.add_argument(
         "--backend", choices=("auto", "xla", "pallas"), default="auto"
     )
     p.add_argument("--results-dir", default="results")
@@ -98,8 +106,12 @@ def main(argv=None) -> int:
     for name in args.sequences:
         print(f"Running on {name}...")
         cur, ref, h, w = load_sequence(name)
+        if args.size == "1080p" and (h, w) == (2160, 3840):
+            h, w = 1080, 1920
+            cur, ref = cur[:h, :w], ref[:h, :w]
         config = SearchConfig(
             blk_dim=args.blk_dim, span=args.span, metric=args.metric,
+            algorithm=args.algorithm,
             frame_width=w, frame_height=h,
         )
         best = None
@@ -120,7 +132,11 @@ def main(argv=None) -> int:
 
     header = (
         f"[ Version= {args.version}, BlkDim= {args.blk_dim}, "
-        f"ExtraSpan={args.span}, Metric= {args.metric} ]"
+        f"ExtraSpan={args.span}, Metric= {args.metric}"
+        + (f", Algorithm= {args.algorithm}" if args.algorithm != "full"
+           else "")
+        + (f", Size= {args.size}" if args.size != "native" else "")
+        + " ]"
     )
     path = regression.write_results(
         args.results_dir, args.version, header, rows

@@ -212,6 +212,8 @@ def _run_ssim(
 
 
 def _kernel_ssim_fast(
+    org_ref,          # [2] i32, SMEM: (y_origin, x_origin) — traced so the
+                      #   same program serves every shard under shard_map
     ref_hbm,          # [rows, halo_w] f32, HBM: span-padded reference panel
     cur_ref,          # [TH, W] f32, VMEM stripe
     score_out,        # [nby_t, W] f32 block of [Hp2/b, W]
@@ -235,7 +237,6 @@ def _kernel_ssim_fast(
     tile_w: int,
     frame_height: int,
     frame_width: int,
-    x_origin: int,
     chunk: int,
 ):
     """Fast SSIM search for interior (untruncated) blocks, blk_dim <= 16.
@@ -268,8 +269,11 @@ def _kernel_ssim_fast(
 
     sel_sum = _row_selector(nby_t, tile_h, blk_dim, "sum")
     sel_pick = _row_selector(nby_t, tile_h, blk_dim, "pick")
-    tl_y = y0 + lax.broadcasted_iota(jnp.int32, (nby_t, 1), 0) * blk_dim
-    tl_x = x_origin + lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
+    tl_y = (
+        org_ref[0] + y0
+        + lax.broadcasted_iota(jnp.int32, (nby_t, 1), 0) * blk_dim
+    )
+    tl_x = org_ref[1] + lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
     count = jnp.int32(blk_dim * blk_dim)
 
     cur = cur_ref[:]
@@ -362,24 +366,28 @@ def _kernel_ssim_fast(
     jax.jit,
     static_argnames=(
         "blk_dim", "span", "frame_height", "frame_width",
-        "tile_h", "x_origin", "chunk", "interpret",
+        "tile_h", "chunk", "interpret",
     ),
 )
 def _run_ssim_fast(
     cur_padded,
     ref_padded,
+    origins,
     *,
     blk_dim: int,
     span: int,
     frame_height: int,
     frame_width: int,
     tile_h: int,
-    x_origin: int,
     chunk: int,
     interpret: bool,
 ):
     """Fast SSIM search over a padded f32 panel (interior blocks).
-    Returns block-grid (score, idx)."""
+    Returns block-grid (score, idx).
+
+    origins: int32 [2] = (y_origin, x_origin) of the panel's top-left in
+    global frame coordinates — a *traced* value (SMEM scalar input), so
+    one compiled program serves every shard of a `shard_map` mesh."""
     hp2, wp2 = cur_padded.shape
     nby_t = tile_h // blk_dim
     halo_rows = _round_up(tile_h + 2 * span, 8)
@@ -388,12 +396,13 @@ def _run_ssim_fast(
         _kernel_ssim_fast,
         blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
         frame_height=frame_height, frame_width=frame_width,
-        x_origin=x_origin, chunk=chunk,
+        chunk=chunk,
     )
     score_px, idx_px = pl.pallas_call(
         kernel,
         grid=(hp2 // tile_h,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tile_h, wp2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -423,7 +432,7 @@ def _run_ssim_fast(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(ref_padded, cur_padded)
+    )(origins.astype(jnp.int32), ref_padded, cur_padded)
     return score_px[:, ::blk_dim], idx_px[:, ::blk_dim]
 
 
@@ -504,9 +513,10 @@ def _ssim_frame_jit(cur, ref, *, blk_dim, span, tile, interpret, chunk_dx=4):
         )
         if use_fast:
             s, i = _run_ssim_fast(
-                cur_p, ref_p, blk_dim=blk_dim, span=span,
+                cur_p, ref_p, jnp.array([0, x0], jnp.int32),
+                blk_dim=blk_dim, span=span,
                 frame_height=frame_height, frame_width=frame_width,
-                tile_h=tile_h, x_origin=x0,
+                tile_h=tile_h,
                 chunk=chunk_dx if chunk_dx > 1 else 4,
                 interpret=interpret,
             )
@@ -540,6 +550,93 @@ def _ssim_frame_jit(cur, ref, *, blk_dim, span, tile, interpret, chunk_dx=4):
 
     mv_y, mv_x = geometry.mv_from_flat_index(idx, span)
     return fs.MotionField(mv_y, mv_x, idx, score)
+
+
+def ssim_supported(blk_dim: int, span: int) -> bool:
+    """Whether the fast SSIM kernel covers this config (the tile entry's
+    requirement): hoisted box-sum pyramids assume full blk×blk blocks and
+    the stripe grid needs blk_dim <= 16."""
+    return blk_dim <= 16 and span >= 1
+
+
+def ssim_search_tile_pallas(
+    cur_tile,
+    ref_halo,
+    y_origin,
+    x_origin,
+    *,
+    frame_height: int,
+    frame_width: int,
+    blk_dim: int,
+    span: int,
+    interpret: bool = False,
+):
+    """Fast-SSIM-kernel search over one mesh shard's tile.
+
+    The shard_map analogue of the CUDA SSIM grid launch
+    (main_ssim.cu:236-245), mirroring full_search_tile_pallas
+    (full_search_pallas.py): each shard runs this same compiled program on
+    its own tile with its global origin supplied as a *traced*
+    (y_origin, x_origin) pair read from SMEM.
+
+    cur_tile: [th, tw] (multiples of blk_dim — mesh padding guarantees
+    this); ref_halo: [th + 2*span, tw + 2*span], the exchanged reference
+    halo, row/col i ↔ tile row/col i - span, zero outside the frame.
+
+    Returns block-grid (score_f32, flat_idx), [th//blk, tw//blk] each,
+    exact for full blocks. Blocks truncated by the global frame edge are
+    NOT handled here — the sharded driver repairs them with a golden
+    thin-slab pass (parallel/sharded.py).
+    """
+    th, tw = cur_tile.shape
+    if th % blk_dim or tw % blk_dim:
+        raise ValueError(
+            f"tile dims must be multiples of blk_dim, got {th}x{tw}"
+        )
+    if not ssim_supported(blk_dim, span):
+        raise ValueError(
+            f"fast SSIM kernel unsupported for blk_dim={blk_dim} "
+            f"span={span}"
+        )
+    stripe_unit = 8 * blk_dim
+    tile_h = min(_round_up(th, stripe_unit), stripe_unit)
+    hp2 = _round_up(th, tile_h)
+    halo_row_pad = _round_up(2 * span, 8)
+    ref_rows = hp2 + halo_row_pad  # tile rows [-span, hp2+halo_row_pad-span)
+    cur_f = cur_tile.astype(jnp.float32)
+    ref_f = ref_halo.astype(jnp.float32)
+
+    score_panels, idx_panels = [], []
+    for x0p, pw in _panel_widths(_round_up(tw, blk_dim), blk_dim):
+        halo_w = _round_up(pw + 2 * span, 128)
+        cur_p = _pad_slab(
+            cur_f, row_range=(0, hp2), col_range=(x0p, x0p + pw),
+            out_rows=hp2, out_cols=pw, offset_r=0, offset_c=0,
+            dtype=jnp.float32,
+        )
+        # ref_halo row/col i ↔ tile row/col i - span, so tile-range
+        # [x0p - span, …) starts at halo column x0p.
+        ref_p = _pad_slab(
+            ref_f, row_range=(0, ref_rows), col_range=(x0p, x0p + halo_w),
+            out_rows=ref_rows, out_cols=halo_w, offset_r=0, offset_c=0,
+            dtype=jnp.float32,
+        )
+        origins = jnp.stack(
+            [jnp.asarray(y_origin), jnp.asarray(x_origin) + x0p]
+        ).astype(jnp.int32)
+        s, i = _run_ssim_fast(
+            cur_p, ref_p, origins,
+            blk_dim=blk_dim, span=span,
+            frame_height=frame_height, frame_width=frame_width,
+            tile_h=tile_h, chunk=4, interpret=interpret,
+        )
+        score_panels.append(s)
+        idx_panels.append(i)
+    score = jnp.concatenate(score_panels, axis=1)
+    idx = jnp.concatenate(idx_panels, axis=1)
+    return score[: th // blk_dim, : tw // blk_dim], idx[
+        : th // blk_dim, : tw // blk_dim
+    ]
 
 
 def _ssim_edge_bottom(cur, ref, *, blk_dim, span, interpret):

@@ -1,0 +1,223 @@
+"""Analytic scaling model: communication vs compute for the sharded step.
+
+Multi-chip hardware is not available in this environment (one v5e chip via
+a tunnel), so BASELINE's ">=90% scaling efficiency 1 -> N hosts at 4K"
+claim is backed by a first-principles model instead of a measurement —
+every term is directly computable from the exact arrays
+`parallel/halo.py` exchanges and from the *measured* single-chip kernel
+time, with link bandwidths taken from public TPU v5e specs. The model is
+deliberately conservative:
+
+  * halo time assumes NO overlap with compute (the sharded step as
+    written serialises exchange -> search; overlapping them would only
+    improve the prediction);
+  * every hop is charged the full per-link latency plus serialisation
+    at one link's bandwidth (ppermute neighbour shifts ride exactly one
+    ICI link per direction — they never contend for bisection);
+  * the psum'd PSNR statistics are charged one full all-reduce over the
+    mesh even though they are a few scalars.
+
+Terms (per sharded step of one frame pair on a ("dp","ty","tx") mesh):
+
+  compute   = blocks_per_chip / measured_blocks_per_sec
+  halo      = bytes of the two `_halo_1d` sweeps (halo.py:54-77): the
+              horizontal sweep sends [tile_h, span] strips both ways,
+              the vertical sweep sends [span, tile_w + 2*span] strips of
+              the *widened* tile both ways — per hop, so spans wider
+              than a neighbour tile pay proportionally more.
+  stats     = one scalar all-reduce (latency-dominated).
+
+Efficiency(N) = T(1) / (N * T(N) / N) = T(1) / (compute(N) + comm(N)) / N
+with T(1) = compute on one chip and T(N) per-chip time at N chips.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from motionestimation_tpu.core.geometry import cdiv
+
+# Public TPU v5e interconnect numbers (per chip): 4 ICI links in a 2D
+# torus, 400 Gbps aggregate bidirectional per link => ~25 GB/s usable
+# one-way per link after protocol overhead (conservative; the public
+# "1600 Gbps interchip interconnect per chip" figure divided by 4 links
+# and 2 directions, derated 50%). DCN (between hosts) is far slower;
+# ~6.25 GB/s per host one-way (50 Gbps NICs, derated 50%).
+ICI_LINK_BYTES_PER_S = 25e9
+ICI_HOP_LATENCY_S = 1e-6
+DCN_BYTES_PER_S = 6.25e9
+DCN_LATENCY_S = 10e-6
+CHIPS_PER_HOST = 8  # one v5e host board
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedStepModel:
+    """All model terms for one config, in seconds/bytes per frame pair."""
+
+    mesh_ty: int
+    mesh_tx: int
+    compute_s: float
+    halo_bytes: int          # total bytes each chip sends for its halo
+    halo_s: float
+    stats_s: float
+    crosses_hosts: bool
+
+    @property
+    def step_s(self) -> float:
+        return self.compute_s + self.halo_s + self.stats_s
+
+
+def halo_bytes_per_chip(
+    frame_height: int,
+    frame_width: int,
+    span: int,
+    ty: int,
+    tx: int,
+    *,
+    dtype_bytes: int = 4,
+) -> int:
+    """Bytes one chip SENDS during halo_exchange_2d (halo.py:80-95).
+
+    Mirrors `_halo_1d` exactly: the horizontal sweep sends, per hop k,
+    a [tile_h, min(tile_w, span-(k-1)*tile_w)] strip in each direction;
+    the vertical sweep sends [min(tile_h, span-(k-1)*tile_h),
+    tile_w + 2*span] strips of the widened tile. Interior chips send
+    both directions; we model the interior (worst) chip.
+    """
+    tile_h = cdiv(frame_height, ty)
+    tile_w = cdiv(frame_width, tx)
+    total = 0
+    # horizontal sweep (axis "tx"): strips of the raw tile
+    if tx > 1:
+        hops = cdiv(span, tile_w)
+        for k in range(1, hops + 1):
+            width = min(tile_w, span - (k - 1) * tile_w)
+            total += 2 * tile_h * width * dtype_bytes
+    # vertical sweep (axis "ty"): strips of the widened tile
+    if ty > 1:
+        wide_w = tile_w + (2 * span if tx > 1 else 0)
+        hops = cdiv(span, tile_h)
+        for k in range(1, hops + 1):
+            width = min(tile_h, span - (k - 1) * tile_h)
+            total += 2 * width * wide_w * dtype_bytes
+    return total
+
+
+def model_step(
+    *,
+    frame_height: int,
+    frame_width: int,
+    blk_dim: int,
+    span: int,
+    ty: int,
+    tx: int,
+    measured_mblocks_per_s: float,
+    dtype_bytes: int = 4,
+) -> ShardedStepModel:
+    """Model one sharded frame-pair step on a ty*tx spatial mesh."""
+    n_chips = ty * tx
+    nby = cdiv(frame_height, blk_dim)
+    nbx = cdiv(frame_width, blk_dim)
+    blocks_per_chip = (nby * nbx) / n_chips
+    compute_s = blocks_per_chip / (measured_mblocks_per_s * 1e6)
+
+    hbytes = halo_bytes_per_chip(
+        frame_height, frame_width, span, ty, tx, dtype_bytes=dtype_bytes
+    )
+    crosses_hosts = n_chips > CHIPS_PER_HOST
+    # Within a host every neighbour shift rides ICI; past one host the
+    # mesh boundary rows cross DCN — charge the whole halo at the slower
+    # link for those chips (conservative).
+    bw = DCN_BYTES_PER_S if crosses_hosts else ICI_LINK_BYTES_PER_S
+    lat = DCN_LATENCY_S if crosses_hosts else ICI_HOP_LATENCY_S
+    n_hops = (cdiv(span, cdiv(frame_width, tx)) if tx > 1 else 0) + (
+        cdiv(span, cdiv(frame_height, ty)) if ty > 1 else 0
+    )
+    halo_s = hbytes / bw + 2 * n_hops * lat if n_chips > 1 else 0.0
+    # scalar psum: one latency-bound all-reduce over log2(n) steps
+    stats_s = (
+        lat * max(1, (n_chips - 1).bit_length()) if n_chips > 1 else 0.0
+    )
+    return ShardedStepModel(
+        mesh_ty=ty,
+        mesh_tx=tx,
+        compute_s=compute_s,
+        halo_bytes=hbytes,
+        halo_s=halo_s,
+        stats_s=stats_s,
+        crosses_hosts=crosses_hosts,
+    )
+
+
+def gop_scaling_efficiency(
+    *,
+    frame_height: int,
+    frame_width: int,
+    blk_dim: int,
+    span: int,
+    n_hosts: list[int],
+    measured_mblocks_per_s: float,
+    host_mesh: tuple[int, int] = (2, 4),
+    dtype_bytes: int = 4,
+) -> dict[int, float]:
+    """Predicted 1 -> N **host** scaling efficiency for GOP processing.
+
+    This is the deployment the BASELINE north star describes and the one
+    `run_gop_sharded` implements: frame pairs batch over the "dp" axis
+    (hosts process *different* pairs), spatial ("ty","tx") tiling stays
+    within a host, so NO halo bytes ever cross DCN — the only cross-host
+    cost per step is the distributed-runtime dispatch sync, charged one
+    DCN round trip. Host-local ingest (each host reads its own frames)
+    scales embarrassingly.
+
+    Returns {n_hosts: efficiency}; the per-host step time is the
+    within-host spatial model plus the sync term.
+    """
+    ty, tx = host_mesh
+    base = model_step(
+        frame_height=frame_height, frame_width=frame_width,
+        blk_dim=blk_dim, span=span, ty=ty, tx=tx,
+        measured_mblocks_per_s=measured_mblocks_per_s,
+        dtype_bytes=dtype_bytes,
+    )
+    out = {}
+    for n in n_hosts:
+        sync = 2 * DCN_LATENCY_S * max(0, (n - 1)).bit_length() if n > 1 else 0.0
+        out[n] = base.step_s / (base.step_s + sync)
+    return out
+
+
+def scaling_efficiency(
+    *,
+    frame_height: int,
+    frame_width: int,
+    blk_dim: int,
+    span: int,
+    meshes: list[tuple[int, int]],
+    measured_mblocks_per_s: float,
+    dtype_bytes: int = 4,
+) -> dict[int, float]:
+    """Predicted efficiency T(1) / (N * T(N)) for each (ty, tx) mesh —
+    one frame spread SPATIALLY over all N chips (the pessimistic mode:
+    past one host the halo crosses DCN; prefer `gop_scaling_efficiency`'s
+    dp-over-hosts layout for GOPs, which is what run_gop_sharded does).
+
+    Returns {n_chips: efficiency}. Efficiency 1.0 = perfect linear
+    scaling of frames/s with chips.
+    """
+    base = model_step(
+        frame_height=frame_height, frame_width=frame_width,
+        blk_dim=blk_dim, span=span, ty=1, tx=1,
+        measured_mblocks_per_s=measured_mblocks_per_s,
+        dtype_bytes=dtype_bytes,
+    )
+    out = {}
+    for ty, tx in meshes:
+        m = model_step(
+            frame_height=frame_height, frame_width=frame_width,
+            blk_dim=blk_dim, span=span, ty=ty, tx=tx,
+            measured_mblocks_per_s=measured_mblocks_per_s,
+            dtype_bytes=dtype_bytes,
+        )
+        n = ty * tx
+        out[n] = base.step_s / (n * m.step_s)
+    return out

@@ -1,15 +1,16 @@
 """SPMD motion estimation over a ("dp", "ty", "tx") mesh.
 
 The full step per shard: halo-exchange the reference tile, run the fused
-phase-plane Pallas search on the local tile (the same kernel the
-single-chip path runs — the shard's global origin is fed to the kernel as
-a traced SMEM scalar, so one compiled program serves every shard), then
+Pallas search on the local tile — the phase-plane kernel for MSE/SAD, the
+hoisted-box-sum SSIM kernel for SSIM; both are the same kernels the
+single-chip path runs, with the shard's global origin fed in as a traced
+SMEM scalar so one compiled program serves every shard — then
 motion-compensate from the halo. Blocks truncated by the global frame
 edge are repaired with a golden thin-slab pass outside the shard_map
 (plain XLA, partitioned automatically), and the exact residual statistics
 are reduced over the sharded result. sharded == unsharded stays bit-exact
 by construction; `backend="golden"` keeps the pure-XLA tile search for
-cross-checking (and is the SSIM path).
+cross-checking.
 
 This is the TPU-native replacement for what the reference doesn't have:
 it is single-process, single-device (SURVEY.md §2 "parallelism
@@ -30,6 +31,7 @@ from jax import shard_map
 
 from motionestimation_tpu.core import geometry
 from motionestimation_tpu.kernels import full_search_pallas as kp
+from motionestimation_tpu.kernels import ssim_pallas as ssim_kp
 from motionestimation_tpu.parallel import halo as halo_lib
 from motionestimation_tpu.search import full_search as fs
 
@@ -74,16 +76,20 @@ def _pad_batch(x, hp, wp):
     return jnp.pad(x.astype(jnp.int32), ((0, 0), (0, hp - h), (0, wp - w)))
 
 
+def _pallas_supported(blk_dim: int, span: int, metric: str) -> bool:
+    if metric == "ssim":
+        return ssim_kp.ssim_supported(blk_dim, span)
+    return kp._phase_supported(blk_dim, span, metric)
+
+
 def _resolve_backend(backend: str, blk_dim: int, span: int, metric: str):
     if backend == "auto":
         return (
             "pallas"
-            if kp._phase_supported(blk_dim, span, metric)
+            if _pallas_supported(blk_dim, span, metric)
             else "golden"
         )
-    if backend == "pallas" and not kp._phase_supported(
-        blk_dim, span, metric
-    ):
+    if backend == "pallas" and not _pallas_supported(blk_dim, span, metric):
         raise ValueError(
             f"pallas sharded backend unsupported for blk_dim={blk_dim} "
             f"span={span} metric={metric!r}"
@@ -147,7 +153,14 @@ def sharded_motion_step(
             ref_halo = halo_lib.halo_exchange_2d(
                 ref_t, span, ty_size=ty, tx_size=tx
             )
-            if backend == "pallas":
+            if backend == "pallas" and metric == "ssim":
+                cost, idx = ssim_kp.ssim_search_tile_pallas(
+                    cur_t, ref_halo, y0, x0,
+                    frame_height=frame_height, frame_width=frame_width,
+                    blk_dim=blk_dim, span=span, interpret=interpret,
+                )
+                mv_y, mv_x = geometry.mv_from_flat_index(idx, span)
+            elif backend == "pallas":
                 cost, idx = kp.full_search_tile_pallas(
                     cur_t, ref_halo, y0, x0,
                     frame_height=frame_height, frame_width=frame_width,
@@ -209,7 +222,8 @@ def sharded_motion_step(
                 cm = fs.compensate_tile(
                     r, f.mv_y, f.mv_x, blk_dim=blk_dim, span=span
                 )
-                return f.mv_y[0], f.mv_x[0], f.best_cost_i32[0], cm
+                fc = f.score if metric == "ssim" else f.best_cost_i32
+                return f.mv_y[0], f.mv_x[0], fc[0], cm
 
             fy, fx, fc, fcomp = jax.vmap(fix_row)(slab_cur, slab_ref)
             mv_y = mv_y.at[:, nby - 1, :].set(fy)
@@ -230,7 +244,8 @@ def sharded_motion_step(
                 cm = fs.compensate_tile(
                     r, f.mv_y, f.mv_x, blk_dim=blk_dim, span=span
                 )
-                return f.mv_y[:, 0], f.mv_x[:, 0], f.best_cost_i32[:, 0], cm
+                fc = f.score if metric == "ssim" else f.best_cost_i32
+                return f.mv_y[:, 0], f.mv_x[:, 0], fc[:, 0], cm
 
             fy, fx, fc, fcomp = jax.vmap(fix_col)(slab_cur, slab_ref)
             mv_y = mv_y.at[:, :, nbx - 1].set(fy)

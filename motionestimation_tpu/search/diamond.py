@@ -200,15 +200,17 @@ def _round_plan(span: int, max_steps: int):
     R_0 = {(0,0)}, R_{t+1} = clamp(R_t ⊕ LDSP). Round t can therefore only
     ever look up displacements in R_{t+1} (LDSP around centers in R_t) and
     — for blocks that converge this round — SDSP around centers in
-    R_{t+1}. Those sets are the per-round fill groups; the lazy replay
-    computes cost planes group by group and skips the whole round (fill
-    included) once every block has converged, so the evaluated-candidate
-    count tracks the *actual* trajectory depth instead of the full (2s+1)²
-    window.
+    R_{t+1}. Round t's *candidate* fill list is that whole set; at run
+    time each plane is additionally gated on "some still-active block's
+    center is within Chebyshev distance 3 of it" plus a not-yet-filled
+    mask, so the planes actually evaluated track the data-dependent
+    trajectory support, not the worst-case reachable ring (a handful of
+    straggler blocks no longer pays for a whole ring).
 
-    Returns (groups, radii, sdsp_radius):
-      groups[t]: sorted flat displacement indices to evaluate before
-        round t (group 0 additionally seeds the (0,0) start),
+    Returns (need_lists, radii, sdsp_radius):
+      need_lists[t]: sorted flat displacement indices any round-t lookup
+        (LDSP now, SDSP later) could touch — cumulative, since
+        R_t ⊆ R_{t+1},
       radii[t]: Chebyshev radius bounding every round-t lookup,
       sdsp_radius: radius bounding the post-loop SDSP lookups.
     """
@@ -223,8 +225,7 @@ def _round_plan(span: int, max_steps: int):
         return (p[0] + span) * k + (p[1] + span)
 
     reach = {(0, 0)}
-    filled: set = set()
-    groups, radii = [], []
+    need_lists, radii = [], []
     for _ in range(max_steps):
         r_c = max((max(abs(y), abs(x)) for y, x in reach), default=0)
         radii.append(min(r_c + 2, span))
@@ -234,13 +235,12 @@ def _round_plan(span: int, max_steps: int):
         need = nxt | clamped(
             {(y + oy, x + ox) for (y, x) in nxt for oy, ox in SDSP}
         )
-        groups.append(tuple(sorted(flat(p) for p in need - filled)))
-        filled |= need
+        need_lists.append(tuple(sorted(flat(p) for p in need)))
         reach = nxt
     sdsp_radius = min(
         max((max(abs(y), abs(x)) for y, x in reach), default=0) + 1, span
     )
-    return tuple(groups), tuple(radii), sdsp_radius
+    return tuple(need_lists), tuple(radii), sdsp_radius
 
 
 # ---------------------------------------------------------------------------
@@ -422,8 +422,8 @@ def _diamond_replay(
     ),
 )
 def _diamond_lazy(
-    cur_p,
-    ref_halo,
+    cur,
+    ref,
     *,
     blk_dim: int,
     span: int,
@@ -455,6 +455,10 @@ def _diamond_lazy(
     *cheaper* than full search (the full-volume replay computed strictly
     more).
     """
+    cur_p = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
+    ref_halo = fs.make_ref_halo(
+        ref, frame_height, frame_width, blk_dim, span
+    )
     hp, wp = cur_p.shape
     nby, nbx = hp // blk_dim, wp // blk_dim
     minimise = metric in ("mse", "sad")
@@ -465,7 +469,7 @@ def _diamond_lazy(
         frame_height=frame_height, frame_width=frame_width,
         blk_dim=blk_dim, span=span, metric=metric,
     )
-    groups, radii, sdsp_radius = _round_plan(span, max_steps)
+    need_lists, radii, sdsp_radius = _round_plan(span, max_steps)
 
     if minimise:
         sentinel = jnp.int32(cost_lib.INT32_MAX)
@@ -475,18 +479,45 @@ def _diamond_lazy(
         sentinel = jnp.float32(-jnp.inf)
         zero = jnp.float32(0)
         dtype = jnp.float32
-    vol = jnp.full((k * k, nby, nbx), sentinel, dtype)
+    # Slot k*k is a write dump: skipped planes write their (sentinel)
+    # result there, keeping the scan's volume update UNconditional — a
+    # lax.cond around a dynamic_update_slice of the whole volume would
+    # copy the 30+ MB carry per step. Only the small [nby, nbx] plane
+    # evaluation sits under the cond.
+    vol = jnp.full((k * k + 1, nby, nbx), sentinel, dtype)
+    filled = jnp.zeros((k * k,), bool)
 
-    def fill(vol, idxs):
-        def body(v, idx):
-            c = disp_cost(idx)
-            return (
-                lax.dynamic_update_slice(v, c[None], (idx, 0, 0)),
-                None,
+    def fill(vol, filled, idxs, cy, cx, active):
+        """Evaluate the planes in `idxs` that (a) aren't filled yet and
+        (b) lie within Chebyshev distance 3 of some active block's
+        center — the reach of this round's LDSP lookups plus next-step
+        SDSP (|LDSP offset| <= 2 plus |SDSP offset| <= 1)."""
+
+        def body(carry, idx):
+            v, f = carry
+            v_y = idx // k - span
+            v_x = idx % k - span
+            near = jnp.any(
+                active
+                & (jnp.abs(cy - v_y) <= 3)
+                & (jnp.abs(cx - v_x) <= 3)
             )
+            need = near & ~f[idx]
+            c = lax.cond(
+                need,
+                lambda _: disp_cost(idx),
+                lambda _: jnp.full((nby, nbx), sentinel, dtype),
+                0,
+            )
+            write_idx = jnp.where(need, idx, k * k)
+            v = lax.dynamic_update_slice(v, c[None], (write_idx, 0, 0))
+            f = f.at[idx].set(f[idx] | need)
+            return (v, f), None
 
-        v, _ = lax.scan(body, vol, jnp.asarray(idxs, jnp.int32))
-        return v
+        (v, f), _ = lax.scan(
+            body, (vol, filled), jnp.asarray(idxs, jnp.int32)
+        )
+        return v, f
 
     def lookup(vol, cy, cx, offsets, radius):
         """Costs of center+offset per block over the radius-capped
@@ -495,7 +526,9 @@ def _diamond_lazy(
         center+offset stays inside the subwindow."""
         m = 2 * radius + 1
         sub = lax.slice(
-            vol.reshape(k, k, nby, nbx),
+            lax.slice_in_dim(vol, 0, k * k, axis=0).reshape(
+                k, k, nby, nbx
+            ),
             (span - radius, span - radius, 0, 0),
             (span + radius + 1, span + radius + 1, nby, nbx),
         ).reshape(m * m, nby, nbx)
@@ -552,38 +585,44 @@ def _diamond_lazy(
             return per_px <= jnp.float32(early_term)
         return ccost >= jnp.float32(early_term)
 
-    vol = fill(vol, groups[0])
+    # Seed the (0,0) start unconditionally.
+    centre = span * k + span
+    vol = lax.dynamic_update_slice(
+        vol, disp_cost(jnp.int32(centre))[None], (centre, 0, 0)
+    )
+    filled = filled.at[centre].set(True)
     cy = jnp.zeros((nby, nbx), jnp.int32)
     cx = jnp.zeros((nby, nbx), jnp.int32)
-    ccost = vol[span * k + span]
+    ccost = vol[centre]
     active = jnp.ones((nby, nbx), bool)
     terminated = jnp.zeros((nby, nbx), bool)
 
-    state = (vol, cy, cx, ccost, active, terminated)
+    state = (vol, filled, cy, cx, ccost, active, terminated)
     trajs = [jnp.zeros((nby, nbx, 2), jnp.int32)] if record_trajectory else None
 
     for t in range(max_steps):
 
         def round_fn(st, t=t):
-            vol, cy, cx, ccost, active, terminated = st
-            if t > 0 and groups[t]:
-                vol = fill(vol, groups[t])
+            vol, filled, cy, cx, ccost, active, terminated = st
             hit = early_mask(ccost) & active
             terminated = terminated | hit
             active = active & ~hit
+            vol, filled = fill(
+                vol, filled, need_lists[t], cy, cx, active
+            )
             wy, wx, wc = pattern_step(vol, cy, cx, ccost, LDSP, radii[t])
             moved = active & ((wy != 0) | (wx != 0))
             active = active & moved
             cy = jnp.where(moved, cy + wy, cy)
             cx = jnp.where(moved, cx + wx, cx)
             ccost = jnp.where(moved, wc, ccost)
-            return (vol, cy, cx, ccost, active, terminated)
+            return (vol, filled, cy, cx, ccost, active, terminated)
 
-        state = lax.cond(jnp.any(state[4]), round_fn, lambda s: s, state)
+        state = lax.cond(jnp.any(state[5]), round_fn, lambda s: s, state)
         if record_trajectory:
-            trajs.append(jnp.stack([state[1], state[2]], axis=-1))
+            trajs.append(jnp.stack([state[2], state[3]], axis=-1))
 
-    vol, cy, cx, ccost, active, terminated = state
+    vol, filled, cy, cx, ccost, active, terminated = state
     terminated = terminated | early_mask(ccost)
 
     wy, wx, wc = pattern_step(vol, cy, cx, ccost, SDSP, sdsp_radius)
@@ -644,12 +683,8 @@ def diamond_search_frame(
     if max_steps is None:
         max_steps = default_max_steps(span)
     if volume_mode == "lazy":
-        cur_p = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
-        ref_halo = fs.make_ref_halo(
-            ref, frame_height, frame_width, blk_dim, span
-        )
         field, traj = _diamond_lazy(
-            cur_p, ref_halo,
+            cur, ref,
             blk_dim=blk_dim, span=span, metric=metric,
             early_term=early_term, max_steps=max_steps,
             record_trajectory=record_trajectory,

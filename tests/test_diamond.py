@@ -111,26 +111,29 @@ def test_lazy_equals_full_volume(metric):
 
 
 def test_round_plan_covers_lookups():
-    """Every displacement a round can look up is filled by then, and the
-    radius caps bound every possible center."""
+    """Every displacement a round can look up is in that round's fill
+    candidate list, the lists are cumulative (a plane skipped earlier
+    stays fillable), and the radius caps bound every possible center."""
     span, max_steps = 7, 9
-    groups, radii, sdsp_radius = diamond._round_plan(span, max_steps)
+    need_lists, radii, sdsp_radius = diamond._round_plan(span, max_steps)
     k = 2 * span + 1
-    filled = set()
     reach = {(0, 0)}
 
     def clamp(ps):
         return {p for p in ps if abs(p[0]) <= span and abs(p[1]) <= span}
 
+    prev = set()
     for t in range(max_steps):
-        filled |= set(groups[t])
+        need = set(need_lists[t])
+        assert prev <= need  # cumulative
+        prev = need
         r_c = max(max(abs(y), abs(x)) for y, x in reach)
         assert radii[t] >= min(r_c + 2, span)
         nxt = clamp({(y + oy, x + ox) for y, x in reach for oy, ox in diamond.LDSP})
         for p in nxt:
-            assert (p[0] + span) * k + (p[1] + span) in filled
+            assert (p[0] + span) * k + (p[1] + span) in need
         for p in clamp({(y + oy, x + ox) for y, x in nxt for oy, ox in diamond.SDSP}):
-            assert (p[0] + span) * k + (p[1] + span) in filled
+            assert (p[0] + span) * k + (p[1] + span) in need
         reach = nxt
     assert sdsp_radius >= min(
         max(max(abs(y), abs(x)) for y, x in reach) + 1, span
