@@ -253,6 +253,7 @@ def _round_plan(span: int, max_steps: int):
     static_argnames=(
         "blk_dim", "span", "metric", "early_term", "max_steps",
         "record_trajectory", "frame_height", "frame_width",
+        "track_escape",
     ),
 )
 def _diamond_replay(
@@ -266,6 +267,7 @@ def _diamond_replay(
     record_trajectory: bool,
     frame_height: int,
     frame_width: int,
+    track_escape: bool = False,
 ):
     """Replay the canonical diamond trajectory over a [K², nby, nbx] cost
     volume.
@@ -280,7 +282,17 @@ def _diamond_replay(
     the volume replay runs the same frame in tens of milliseconds.
     Lookups avoid gathers too: a one-hot of the center index once per
     step, multiplied against *statically* shifted volume slices (pattern
-    offsets are compile-time constants)."""
+    offsets are compile-time constants).
+
+    With `track_escape`, `span` is interpreted as the RADIUS of a
+    volume cropped below the true search window (the staged-volume fast
+    path, `_diamond_staged`): the third return value marks blocks whose
+    trajectory could touch displacements beyond the crop — any block
+    whose center exceeds Chebyshev radius span-2 while still active
+    (its LDSP lookups reach center+2), or span-1 at the SDSP step. Up to
+    the first such event the trajectory is exactly canonical, so
+    non-escaped blocks are exact and escaped ones are recomputed at the
+    next level."""
     _, nby, nbx = volume.shape
     minimise = metric in ("mse", "sad")
     k = 2 * span + 1
@@ -296,26 +308,32 @@ def _diamond_replay(
     else:
         sentinel = jnp.float32(-jnp.inf)
         zero = jnp.float32(0)
-    # Pad the flat candidate axis so statically shifted lookups land on
-    # sentinels when an offset steps outside the window vertically.
-    pad = 2 * k + 2  # >= max |oy*k + ox| over LDSP/SDSP
-    vol_p = jnp.pad(
-        volume, ((pad, pad), (0, 0), (0, 0)), constant_values=sentinel
-    )
 
-    def pattern_costs(cy, cx, offsets):
-        """Costs of center+offset per block, one [nby, nbx] array per
-        offset; out-of-window lookups yield the sentinel."""
-        flat = (cy + span) * k + (cx + span)
+    def lookup(cy, cx, offsets, radius):
+        """Costs of center+offset per block over the radius-capped
+        subvolume (the round schedule bounds |center| <= radius-2, so
+        every in-window target stays inside); out-of-window lookups
+        yield the sentinel."""
+        m = 2 * radius + 1
+        sub = lax.slice(
+            volume.reshape(k, k, nby, nbx),
+            (span - radius, span - radius, 0, 0),
+            (span + radius + 1, span + radius + 1, nby, nbx),
+        ).reshape(m * m, nby, nbx)
+        pad = 2 * m + 2  # >= max |oy*m + ox| over LDSP/SDSP
+        sub_p = jnp.pad(
+            sub, ((pad, pad), (0, 0), (0, 0)), constant_values=sentinel
+        )
+        flat = (cy + radius) * m + (cx + radius)
         onehot = (
-            lax.broadcasted_iota(jnp.int32, (k * k, nby, nbx), 0)
+            lax.broadcasted_iota(jnp.int32, (m * m, nby, nbx), 0)
             == flat[None]
         )
         outs = []
         for o_y, o_x in offsets:
-            delta = o_y * k + o_x
+            delta = o_y * m + o_x
             v = lax.slice_in_dim(
-                vol_p, pad + delta, pad + delta + k * k, axis=0
+                sub_p, pad + delta, pad + delta + m * m, axis=0
             )
             c = jnp.sum(jnp.where(onehot, v, zero), axis=0)
             # A horizontal step off the window edge aliases the flat index
@@ -325,20 +343,16 @@ def _diamond_replay(
             outs.append(jnp.where(ok, c, sentinel))
         return outs
 
-    def cand_cost(d_y, d_x):
-        """[nby, nbx] cost of a per-block displacement (volume lookup)."""
-        return pattern_costs(d_y, d_x, ((0, 0),))[0]
-
     def better(c, best):
         return (c < best) if minimise else (c > best)
 
-    def pattern_step(cy, cx, ccost, offsets):
+    def pattern_step(cy, cx, ccost, offsets, radius):
         """Evaluate a diamond pattern; returns winning (offset, cost) per
         block — (0,0) with ccost when nothing beats the center. Evaluation
         order = list order, so strict comparison keeps
         first-in-order-wins ties."""
         offs = [o for o in offsets if o != (0, 0)]  # center is incumbent
-        costs = pattern_costs(cy, cx, offs)
+        costs = lookup(cy, cx, offs, radius)
         wy = jnp.zeros_like(cy)
         wx = jnp.zeros_like(cx)
         wc = ccost
@@ -361,40 +375,57 @@ def _diamond_replay(
 
     cy = jnp.zeros((nby, nbx), jnp.int32)
     cx = jnp.zeros((nby, nbx), jnp.int32)
-    ccost = cand_cost(cy, cx)
+    ccost = volume[span * k + span]
     active = jnp.ones((nby, nbx), bool)
     terminated = jnp.zeros((nby, nbx), bool)
-    traj = (
-        jnp.zeros((max_steps + 1, nby, nbx, 2), jnp.int32)
-        if record_trajectory
-        else None
-    )
+    escaped = jnp.zeros((nby, nbx), bool)
 
-    def ldsp_round(step, state):
-        cy, cx, ccost, active, terminated, traj = state
-        hit = early_mask(ccost) & active
-        terminated = terminated | hit
-        active = active & ~hit
-        wy, wx, wc = pattern_step(cy, cx, ccost, LDSP)
-        moved = active & ((wy != 0) | (wx != 0))
-        active = active & moved
-        cy = jnp.where(moved, cy + wy, cy)
-        cx = jnp.where(moved, cx + wx, cx)
-        ccost = jnp.where(moved, wc, ccost)
-        if traj is not None:
-            traj = traj.at[step + 1].set(jnp.stack([cy, cx], axis=-1))
-        return cy, cx, ccost, active, terminated, traj
-
-    cy, cx, ccost, active, terminated, traj = lax.fori_loop(
-        0, max_steps, ldsp_round,
-        (cy, cx, ccost, active, terminated, traj),
-        unroll=False,
+    # Rounds are Python-unrolled: each gets a static radius cap
+    # (|center| grows by <= 2 per round) so lookups touch only the
+    # reachable subvolume, and the whole round sits under lax.cond —
+    # skipped for free once every block converged/terminated.
+    state = (cy, cx, ccost, active, terminated, escaped)
+    trajs = (
+        [jnp.zeros((nby, nbx, 2), jnp.int32)] if record_trajectory else None
     )
+    for t in range(max_steps):
+        radius_t = min(2 * t + 2, span)
+
+        def ldsp_round(st, radius_t=radius_t):
+            cy, cx, ccost, active, terminated, escaped = st
+            hit = early_mask(ccost) & active
+            terminated = terminated | hit
+            active = active & ~hit
+            if track_escape:
+                escaped = escaped | (
+                    active
+                    & (jnp.maximum(jnp.abs(cy), jnp.abs(cx)) > span - 2)
+                )
+            wy, wx, wc = pattern_step(cy, cx, ccost, LDSP, radius_t)
+            moved = active & ((wy != 0) | (wx != 0))
+            active = active & moved
+            cy = jnp.where(moved, cy + wy, cy)
+            cx = jnp.where(moved, cx + wx, cx)
+            ccost = jnp.where(moved, wc, ccost)
+            return cy, cx, ccost, active, terminated, escaped
+
+        state = lax.cond(jnp.any(state[3]), ldsp_round, lambda s: s, state)
+        if record_trajectory:
+            trajs.append(jnp.stack([state[0], state[1]], axis=-1))
+    cy, cx, ccost, active, terminated, escaped = state
+    traj = jnp.stack(trajs) if record_trajectory else None
+
     # Post-loop early check mirrors the golden model's final-state check.
     terminated = terminated | early_mask(ccost)
 
-    wy, wx, wc = pattern_step(cy, cx, ccost, SDSP)
+    sdsp_radius = min(2 * max_steps + 1, span)
+    wy, wx, wc = pattern_step(cy, cx, ccost, SDSP, sdsp_radius)
     apply_sdsp = ~terminated
+    if track_escape:
+        escaped = escaped | (
+            apply_sdsp
+            & (jnp.maximum(jnp.abs(cy), jnp.abs(cx)) > span - 1)
+        )
     cy = jnp.where(apply_sdsp, cy + wy, cy)
     cx = jnp.where(apply_sdsp, cx + wx, cx)
     ccost = jnp.where(apply_sdsp, wc, ccost)
@@ -411,7 +442,7 @@ def _diamond_replay(
         k = 2 * span + 1
         flat = (cy + span) * k + (cx + span)
         field = MotionField(cy, cx, flat, ccost)
-    return field, traj
+    return field, traj, escaped
 
 
 @functools.partial(
@@ -656,15 +687,26 @@ def diamond_search_frame(
     early_term: float | None = None,
     max_steps: int | None = None,
     record_trajectory: bool = False,
-    volume_mode: str = "lazy",
+    volume_mode: str = "auto",
 ):
     """Whole-frame diamond search. cur/ref: [H, W] u8/i32 arrays.
 
-    volume_mode: "lazy" (default — evaluate only diamond-reachable
-    candidates round by round, skipping converged rounds; the fast path)
-    or "full" (materialise the whole [K², nby, nbx] cost volume first and
-    replay over it; kept for cross-checking and as the Pallas-volume
-    consumer). Both produce identical MVs, costs, and trajectories.
+    volume_mode:
+      "auto" / "staged" — adaptive staged volumes (MSE, blk_dim <= 16;
+        falls back to "lazy" otherwise): compute a radius-capped Pallas
+        cost volume (levels 4, 8, 16, ..., span), replay over it, and
+        escalate — under `lax.cond`, so skipped levels cost nothing —
+        only when some block's trajectory could leave the cap. Typical
+        content stays at the first level (81 candidate planes at fused-
+        kernel efficiency vs (2s+1)² for full search), which is what
+        makes diamond *cheaper* than full search; worst case (every
+        block travels far) is bounded by ~1.4x the full volume.
+      "lazy" — evaluate only diamond-reachable candidate planes round by
+        round with the golden XLA evaluator; works for every metric and
+        block size, no Pallas dependency.
+      "full" — materialise the whole [K², nby, nbx] volume up front and
+        replay (cross-checking / Pallas-volume consumer).
+    All modes produce identical MVs, costs, and trajectories.
 
     Returns a MotionField, or (MotionField, trajectory) when
     `record_trajectory` — trajectory [max_steps+1, nby, nbx, 2] matches
@@ -677,11 +719,22 @@ def diamond_search_frame(
         )
     if metric not in ("mse", "sad", "ssim"):
         raise ValueError(f"unknown metric {metric!r}")
-    if volume_mode not in ("lazy", "full"):
+    if volume_mode not in ("auto", "staged", "lazy", "full"):
         raise ValueError(f"unknown volume_mode {volume_mode!r}")
     frame_height, frame_width = cur.shape
     if max_steps is None:
         max_steps = default_max_steps(span)
+    if volume_mode in ("auto", "staged"):
+        if metric == "mse" and blk_dim <= 16 and span >= 2:
+            field, traj = _diamond_staged(
+                cur, ref,
+                blk_dim=blk_dim, span=span,
+                early_term=early_term, max_steps=max_steps,
+                record_trajectory=record_trajectory,
+                frame_height=frame_height, frame_width=frame_width,
+            )
+        else:
+            volume_mode = "lazy"
     if volume_mode == "lazy":
         field, traj = _diamond_lazy(
             cur, ref,
@@ -690,36 +743,127 @@ def diamond_search_frame(
             record_trajectory=record_trajectory,
             frame_height=frame_height, frame_width=frame_width,
         )
-        if record_trajectory:
-            return field, traj
-        return field
-    if metric == "mse" and blk_dim <= 16:
-        # Fast Pallas cost volume (bit-exact vs the golden tile's).
-        from motionestimation_tpu.kernels import full_search_pallas as ker
+    elif volume_mode == "full":
+        if metric == "mse" and blk_dim <= 16:
+            # Fast Pallas cost volume (bit-exact vs the golden tile's).
+            from motionestimation_tpu.kernels import full_search_pallas as ker
 
-        volume = ker.full_search_volume_pallas(
-            cur, ref, blk_dim=blk_dim, span=span
-        )
-    else:
-        cur_p = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
-        ref_halo = fs.make_ref_halo(
-            ref, frame_height, frame_width, blk_dim, span
-        )
-        _, volume = _golden_volume_jit(
-            cur_p, ref_halo,
+            volume = ker.full_search_volume_pallas(
+                cur, ref, blk_dim=blk_dim, span=span
+            )
+        else:
+            cur_p = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
+            ref_halo = fs.make_ref_halo(
+                ref, frame_height, frame_width, blk_dim, span
+            )
+            _, volume = _golden_volume_jit(
+                cur_p, ref_halo,
+                blk_dim=blk_dim, span=span, metric=metric,
+                frame_height=frame_height, frame_width=frame_width,
+            )
+        field, traj, _ = _diamond_replay(
+            volume,
             blk_dim=blk_dim, span=span, metric=metric,
+            early_term=early_term, max_steps=max_steps,
+            record_trajectory=record_trajectory,
             frame_height=frame_height, frame_width=frame_width,
         )
-    field, traj = _diamond_replay(
-        volume,
-        blk_dim=blk_dim, span=span, metric=metric,
-        early_term=early_term, max_steps=max_steps,
-        record_trajectory=record_trajectory,
-        frame_height=frame_height, frame_width=frame_width,
-    )
     if record_trajectory:
         return field, traj
     return field
+
+
+def _staged_levels(span: int) -> tuple[int, ...]:
+    """Volume radii to try in order: 6, 12, 24, ... capped at span.
+
+    6 (escape only past Chebyshev radius 4) keeps ordinary slow-motion
+    content — including blocks that overshoot the true MV by a few
+    steps — at the first level; starting lower was measured to escalate
+    whole frames on a handful of |c|=3 stragglers."""
+    levels = []
+    r = 6
+    while r < span:
+        levels.append(r)
+        r *= 2
+    levels.append(span)
+    return tuple(levels)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "blk_dim", "span", "early_term", "max_steps",
+        "record_trajectory", "frame_height", "frame_width",
+    ),
+)
+def _diamond_staged(
+    cur,
+    ref,
+    *,
+    blk_dim: int,
+    span: int,
+    early_term,
+    max_steps: int,
+    record_trajectory: bool,
+    frame_height: int,
+    frame_width: int,
+):
+    """Adaptive staged-volume diamond (MSE, blk_dim <= 16).
+
+    Level r computes the radius-r sub-window cost volume with the fused
+    Pallas volume kernel — identical integer costs to the golden path
+    for every |d|∞ <= r (a displacement's cost does not depend on the
+    window size) — and replays the canonical trajectory over it with
+    escape tracking (`_diamond_replay(track_escape=True)`). Blocks that
+    never approach the cap are exactly canonical; the rest are
+    recomputed at the next level, whose whole computation sits under a
+    `lax.cond` and is skipped when nothing escaped. The last level is
+    the full span, where no escape is possible, so the result is always
+    bit-exact vs `diamond_search_np`.
+    """
+    from motionestimation_tpu.kernels import full_search_pallas as ker
+
+    levels = _staged_levels(span)
+
+    def run_level(r):
+        vol = ker.full_search_volume_pallas(
+            cur, ref, blk_dim=blk_dim, span=r
+        )
+        field, traj, esc = _diamond_replay(
+            vol,
+            blk_dim=blk_dim, span=r, metric="mse",
+            early_term=early_term, max_steps=max_steps,
+            record_trajectory=record_trajectory,
+            frame_height=frame_height, frame_width=frame_width,
+            track_escape=(r < span),
+        )
+        if traj is None:
+            traj = jnp.zeros((0,), jnp.int32)  # uniform pytree for cond
+        return field, traj, esc
+
+    field, traj, esc = run_level(levels[0])
+    for r in levels[1:]:
+
+        def escalate(state, r=r):
+            field, traj, esc = state
+            f2, t2, e2 = run_level(r)
+            e = esc[..., None]
+            merged = MotionField(
+                jnp.where(esc, f2.mv_y, field.mv_y),
+                jnp.where(esc, f2.mv_x, field.mv_x),
+                jnp.where(esc, f2.best_cost_i32, field.best_cost_i32),
+                jnp.where(esc, f2.score, field.score),
+            )
+            if record_trajectory:
+                traj = jnp.where(e[None], t2, traj)
+            return merged, traj, esc & e2
+
+        field, traj, esc = lax.cond(
+            jnp.any(esc), escalate, lambda s: s, (field, traj, esc)
+        )
+    if not record_trajectory:
+        traj = None
+    return field, traj
 
 
 @functools.partial(

@@ -138,3 +138,23 @@ def test_round_plan_covers_lookups():
     assert sdsp_radius >= min(
         max(max(abs(y), abs(x)) for y, x in reach) + 1, span
     )
+
+
+@pytest.mark.parametrize("shift", [(1, -2), (6, 5)])
+def test_staged_equals_golden(shift):
+    """The adaptive staged-volume path (level escalation under lax.cond)
+    matches the numpy golden trajectories exactly — both for content that
+    stays within the first level's radius and content that escalates."""
+    rng = np.random.default_rng(17)
+    cur, ref = _pair(rng, 48, 64, *shift)
+    f, t = diamond.diamond_search_frame(
+        cur, ref, blk_dim=8, span=7, metric="mse",
+        record_trajectory=True, volume_mode="staged",
+    )
+    mvy, mvx, best, traj = diamond.diamond_search_np(
+        cur, ref, blk_dim=8, span=7, metric="mse"
+    )
+    np.testing.assert_array_equal(np.asarray(f.mv_y), mvy)
+    np.testing.assert_array_equal(np.asarray(f.mv_x), mvx)
+    np.testing.assert_array_equal(np.asarray(f.best_cost_i32), best.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(t), traj)

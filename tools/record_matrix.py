@@ -30,13 +30,14 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def synthetic(name: str, h: int, w: int, shift, noise: int):
+def synthetic(name: str, h: int, w: int, shift, noise: int, kron: int = 8):
     rng = np.random.default_rng(abs(hash(name)) % 2**32)
-    small = rng.integers(0, 256, (h // 8 + 2, w // 8 + 2)).astype(
+    small = rng.integers(0, 256, (h // kron + 2, w // kron + 2)).astype(
         np.float64
     )
     ref = np.clip(
-        np.kron(small, np.ones((8, 8)))[:h, :w] + rng.normal(0, 2, (h, w)),
+        np.kron(small, np.ones((kron, kron)))[:h, :w]
+        + rng.normal(0, 1, (h, w)),
         0, 255,
     ).astype(np.uint8)
     cur = np.clip(
@@ -65,7 +66,9 @@ def main(argv=None):
     f2 = frames_lib.load_yuv(os.path.join(ref_dir, "ForemanYF2.yuv"), 288, 352)
     f4 = frames_lib.load_yuv(os.path.join(ref_dir, "ForemanYF4.yuv"), 288, 352)
 
-    beauty_cur, beauty_ref = synthetic("Beauty1080", 1080, 1920, (1, -2), 2)
+    beauty_cur, beauty_ref = synthetic(
+        "Beauty1080", 1080, 1920, (1, -2), 1, kron=4
+    )
     jockey_cur, jockey_ref = synthetic("Jockey4K", 2160, 3840, (4, -6), 5)
 
     cases = [
