@@ -729,6 +729,7 @@ def _kernel_phase(
     cur_ref,          # [TH, W] f32, VMEM stripe (TH = 8*blk)
     cost_out,         # [8, W] i32 block of [Hp2/b, W]
     idx_out,          # [8, W] i32 block
+    vol_hbm,          # [S, K, K*8, W] i32, HBM (emit_volume only; else tiny)
     win_ref,          # [halo_rows, halo_w] f32 scratch
     c_ref,            # [TH, W] f32 scratch: cur phase planes (r-major)
     e_ref,            # [n_phase*8, halo_w] f32 scratch: ref phase planes
@@ -736,7 +737,9 @@ def _kernel_phase(
     oky_ref,          # [K*8, 1] i32: dy*K (+bias) when dy valid, else MAX
     bc_ref,           # [K*8, W] i32: running min (packed key, or cost)
     bi_ref,           # [K*8 or 8, W] i32: running idx (lex path only)
+    vbuf_ref,         # [K*8, W] i32 scratch (emit_volume only)
     in_sem,
+    vol_sems,         # DMA sem (emit_volume only)
     *,
     blk_dim: int,
     span: int,
@@ -744,6 +747,7 @@ def _kernel_phase(
     frame_width: int,
     metric: str,
     use_key: bool,
+    emit_volume: bool = False,
 ):
     """Phase-plane full-search kernel (blk_dim in {8, 16}, interior blocks).
 
@@ -817,7 +821,10 @@ def _kernel_phase(
 
     tl_x = org_ref[1] + lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
 
-    def dx_body(j, _):
+    def process_dx(j, slot, do_wait=False):
+        """Everything for one dx candidate; slot is the static volume
+        double-buffer index (emit_volume only), do_wait (static) waits
+        for the DMA issued two dx ago on the same slot."""
         d_x = j - span
         ok_x = (tl_x + d_x >= 0) & (tl_x + d_x <= frame_width - blk_dim)
         for dy in range(k):
@@ -834,22 +841,73 @@ def _kernel_phase(
             )
         x = _sliding_sums(w_ref[:], blk_dim, axis=1).astype(jnp.int32)
         valid = ok_x & (oky_ref[:] != i32max)
+
+        # lax.select (the raw primitive), not jnp.where: jnp.where's
+        # jit-wrapped `_where` subcall inside an effects-carrying fori
+        # body (the volume DMAs below) trips a JAX interpret-mode
+        # lowering-cache KeyError.
+        def sel(pred, a, b):
+            shape = jnp.broadcast_shapes(pred.shape, a.shape, b.shape)
+            return lax.select(
+                jnp.broadcast_to(pred, shape),
+                jnp.broadcast_to(a, shape),
+                jnp.broadcast_to(b, shape),
+            )
+
+        full_max = jnp.full((k * g, tile_w), i32max, jnp.int32)
+        if emit_volume:
+            # Stream this dx's [K*8, W] cost slab (sentinel at invalid
+            # candidates) to HBM. One buffer, overlapped in time: the
+            # previous DMA (primed with a dummy before the loop so the
+            # body stays uniform) ran during this dx's chain compute, so
+            # the wait is effectively free, and the fresh DMA overlaps
+            # the argmin fold + roll below. The wait descriptor names
+            # the dump slot; only the semaphore identity matters.
+            pltpu.make_async_copy(
+                vbuf_ref, vol_hbm.at[pl.program_id(0), k], vol_sems
+            ).wait()
+            vbuf_ref[:] = sel(valid, x, full_max)
+            pltpu.make_async_copy(
+                vbuf_ref,
+                vol_hbm.at[pl.program_id(0), j],
+                vol_sems,
+            ).start()
         if use_key:
             key = x * kk + (oky_ref[:] + j)
-            bc_ref[:] = jnp.minimum(
-                bc_ref[:], jnp.where(valid, key, i32max)
-            )
+            bc_ref[:] = jnp.minimum(bc_ref[:], sel(valid, key, full_max))
         else:
-            cand = jnp.where(valid, x, i32max)
+            cand = sel(valid, x, full_max)
             flat = oky_ref[:] + j
             bc, bi = bc_ref[:], bi_ref[:]
             take = (cand < bc) | ((cand == bc) & (flat < bi))
-            bc_ref[:] = jnp.where(take, cand, bc)
-            bi_ref[:] = jnp.where(take, flat, bi)
+            bc_ref[:] = sel(take, cand, bc)
+            bi_ref[:] = sel(take, jnp.broadcast_to(flat, bi.shape), bi)
         e_ref[:] = pltpu.roll(e_ref[:], halo_w - 1, 1)
-        return 0
 
-    lax.fori_loop(0, k, dx_body, 0)
+    if emit_volume:
+        # Prime the single-buffer pipeline with a dummy DMA to the dump
+        # slot (vol_hbm row k) so every loop iteration's wait is
+        # unconditional and the body stays uniform (no peeling — a
+        # duplicated body trips a JAX interpret-mode lowering-cache bug).
+        pltpu.make_async_copy(
+            vbuf_ref, vol_hbm.at[pl.program_id(0), k], vol_sems
+        ).start()
+
+        def dx_body_emit(j, _):
+            process_dx(j, None)
+            return 0
+
+        lax.fori_loop(0, k, dx_body_emit, 0)
+        pltpu.make_async_copy(
+            vbuf_ref, vol_hbm.at[pl.program_id(0), k - 1], vol_sems
+        ).wait()
+    else:
+
+        def dx_body(j, _):
+            process_dx(j, None)
+            return 0
+
+        lax.fori_loop(0, k, dx_body, 0)
 
     if use_key:
         key = _keymin_tree(bc_ref[:], k, g)
@@ -875,7 +933,7 @@ def _kernel_phase(
     jax.jit,
     static_argnames=(
         "blk_dim", "span", "frame_height", "frame_width",
-        "metric", "interpret",
+        "metric", "interpret", "emit_volume",
     ),
 )
 def _run_phase(
@@ -889,9 +947,13 @@ def _run_phase(
     frame_width: int,
     metric: str,
     interpret: bool,
+    emit_volume: bool = False,
 ):
     """Phase-plane search over a padded f32 panel. Returns block-grid
-    (cost_i32, idx) for interior blocks.
+    (cost_i32, idx) for interior blocks — plus, with `emit_volume`, the
+    full per-candidate cost volume [k², hp2//blk, wp2] int32 (sentinel
+    at invalid candidates), streamed from the kernel per dx at phase-
+    kernel efficiency (~1.9x the legacy chunked emit path).
 
     origins: int32 [2] = (y_origin, x_origin) of the panel's top-left in
     global frame coordinates — a *traced* value (SMEM scalar input), so
@@ -908,10 +970,18 @@ def _run_phase(
         _kernel_phase,
         blk_dim=blk_dim, span=span,
         frame_height=frame_height, frame_width=frame_width,
-        metric=metric, use_key=use_key,
+        metric=metric, use_key=use_key, emit_volume=emit_volume,
     )
     n_stripes = hp2 // tile_h
-    cost_px, idx_px = pl.pallas_call(
+    # Volume layout is (stripe, dx, dy*g + R, lane): the kernel's per-dx
+    # [K*g, W] cost slab is dy-major, so one DMA per dx lands the whole
+    # slab contiguously; the dy-major [k², rows, lanes] view the replay
+    # wants is a cheap transpose below.
+    # Row k of the dx axis is a dump slot for the pipeline-priming DMA.
+    vol_shape = (
+        (n_stripes, k + 1, k * g, wp2) if emit_volume else (1, 1, 8, 128)
+    )
+    cost_px, idx_px, vol = pl.pallas_call(
         kernel,
         grid=(n_stripes,),
         in_specs=[
@@ -925,10 +995,12 @@ def _run_phase(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, wp2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.int32),
             jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.int32),
+            jax.ShapeDtypeStruct(vol_shape, jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((halo_rows, halo_w), jnp.float32),
@@ -939,14 +1011,30 @@ def _run_phase(
             pltpu.VMEM((k * g, wp2), jnp.int32),
             pltpu.VMEM(((k * g, wp2) if not use_key else (8, 128)),
                        jnp.int32),
+            pltpu.VMEM(
+                (k * g, wp2) if emit_volume else (8, 128),
+                jnp.int32,
+            ),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(origins.astype(jnp.int32), ref_padded, cur_padded)
+    if emit_volume:
+        # [S, dx, dy, R(g), W] -> [dy*k + dx, S*g + R, W] (drop dump row)
+        volume = (
+            vol[:, :k]
+            .reshape(n_stripes, k, k, g, wp2)
+            .transpose(2, 1, 0, 3, 4)
+            .reshape(k * k, n_stripes * g, wp2)
+        )
+        return cost_px[:, ::blk_dim], idx_px[:, ::blk_dim], volume
     return cost_px[:, ::blk_dim], idx_px[:, ::blk_dim]
 
 
-def _phase_panel_target(blk_dim: int, span: int, metric: str) -> int:
+def _phase_panel_target(
+    blk_dim: int, span: int, metric: str, emit_volume: bool = False
+) -> int:
     """Widest 128-multiple panel whose phase-kernel VMEM fits ~11.5 MB."""
     g = 8
     k = 2 * span + 1
@@ -962,6 +1050,7 @@ def _phase_panel_target(blk_dim: int, span: int, metric: str) -> int:
             + n_phase * g * halo_w      # e
             + k * g * pw                # w
             + k * g * pw * (2 if lex else 1)  # bc (+ bi)
+            + (k * g * pw if emit_volume else 0)  # vbuf
             + 2 * tile_h * pw           # input double buffer
             + 4 * g * pw                # output double buffers
         )
@@ -1644,16 +1733,30 @@ def _full_search_volume_jit(cur, ref, *, blk_dim, span, tile, interpret,
     nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
     k = 2 * span + 1
 
+    # Phase-kernel emission (~1.9x the chunked path) on real TPU only:
+    # interpret-mode lowering of the emit fori (DMA effects in the body)
+    # trips a JAX closed_call lowering-cache KeyError, so CPU/interpret
+    # keeps the chunked emit path (bit-identical output; the hardware
+    # cross-check of phase==chunked volumes is in results/tpu/ notes).
+    use_phase = _phase_supported(blk_dim, span, "mse") and not interpret
     stripe_unit = 8 * blk_dim
-    tile_h = min(
-        _round_up(hp, stripe_unit),
-        max(stripe_unit, tile // stripe_unit * stripe_unit),
-    )
+    if use_phase:
+        tile_h = stripe_unit
+    else:
+        tile_h = min(
+            _round_up(hp, stripe_unit),
+            max(stripe_unit, tile // stripe_unit * stripe_unit),
+        )
     hp2 = _round_up(hp, tile_h)
     halo_row_pad = _round_up(2 * span, 8)
+    panel_target = (
+        _phase_panel_target(blk_dim, span, "mse", emit_volume=True)
+        if use_phase
+        else _PANEL_TARGET
+    )
 
     panels = []
-    for x0, pw in _panel_widths(wp, blk_dim):
+    for x0, pw in _panel_widths(wp, blk_dim, panel_target):
         halo_w = _round_up(pw + 2 * span, 128)
         cur_p = _pad_slab(
             cur, row_range=(0, frame_height), col_range=(x0, x0 + pw),
@@ -1667,13 +1770,21 @@ def _full_search_volume_jit(cur, ref, *, blk_dim, span, tile, interpret,
             out_rows=hp2 + halo_row_pad, out_cols=halo_w,
             offset_r=0, offset_c=0, dtype=jnp.float32,
         )
-        _, _, vol = _run_f32(
-            cur_p, ref_p,
-            blk_dim=blk_dim, span=span,
-            frame_height=frame_height, frame_width=frame_width,
-            tile_h=tile_h, x_origin=x0, interpret=interpret,
-            chunk_dx=chunk_dx, emit_volume=True,
-        )
+        if use_phase:
+            _, _, vol = _run_phase(
+                cur_p, ref_p, jnp.array([0, x0], jnp.int32),
+                blk_dim=blk_dim, span=span,
+                frame_height=frame_height, frame_width=frame_width,
+                metric="mse", interpret=interpret, emit_volume=True,
+            )
+        else:
+            _, _, vol = _run_f32(
+                cur_p, ref_p,
+                blk_dim=blk_dim, span=span,
+                frame_height=frame_height, frame_width=frame_width,
+                tile_h=tile_h, x_origin=x0, interpret=interpret,
+                chunk_dx=chunk_dx, emit_volume=True,
+            )
         panels.append(vol[:, :nby, ::blk_dim][:, :, : pw // blk_dim])
     volume = jnp.concatenate(panels, axis=2)[:, :, :nbx].astype(jnp.int32)
 
