@@ -50,7 +50,13 @@ BASELINE_KERNEL_MS = 64.577  # GPU v5, Jockey 4K, 8x8 +-12
 BASELINE_TOTAL_MS = 71.508   # GPU v5, Jockey 4K, end-to-end total
 H, W = 2160, 3840
 BLK, SPAN = 8, 12
-BATCH = 8
+# Frames chained through one jitted lax.map per device sync. The host
+# fetch that ends a timing costs one tunnel round trip (~20-30 ms on
+# this host); at BATCH=8 that fixed cost inflated per-frame time by up
+# to ~25%. 32 chained frames push the sync share below ~3% while using
+# <1 GB HBM, so the number approaches the pure kernel rate — the
+# honest analogue of the reference's CUDA-event `kernel` column.
+BATCH = 32
 GOP_FRAMES = 17
 
 # VPU issue ceiling: 8x128 lanes x 4 ALUs x ~1.5 GHz — an UPPER bound
@@ -110,7 +116,7 @@ def main():
         jax.block_until_ready((cd, rd))
         int(run(cd, rd))  # compile + warmup
         ts = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             int(run(cd, rd))  # host fetch = true sync
             ts.append((time.perf_counter() - t0) / BATCH)
@@ -183,7 +189,7 @@ def main():
 
     int(run_diamond(dc, dr))
     ts = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         int(run_diamond(dc, dr))
         ts.append((time.perf_counter() - t0) / BATCH)
@@ -195,20 +201,39 @@ def main():
     # link (consecutive pairs share a frame; device arrays are cached),
     # so the achievable ceiling is link_rate / 8.29 MB. Measure the raw
     # link so the JSON can show what fraction of that ceiling the
-    # pipeline reaches — on this host the tunnel runs ~30 MB/s (the
-    # reference's local PCIe moved the same frame in 6.4 ms,
-    # results/gpu/v5.txt), so gop_fps is transport-bound by design and
-    # gop_pct_of_link_bound is the pipelining evidence.
+    # pipeline reaches — on this host the tunnel sustains ~50 MB/s for
+    # pipelined frame-sized transfers (the reference's local PCIe moved
+    # the same frame in 6.4 ms, results/gpu/v5.txt), so gop_fps is
+    # transport-bound by design and gop_pct_of_link_bound ≈ 100% is the
+    # pipelining evidence (the bound itself jitters a few percent).
     from motionestimation_tpu.core import frames as frames_lib
     from motionestimation_tpu.core.config import SearchConfig
     from motionestimation_tpu.pipeline import runner
 
-    probe = jnp.asarray(refs[0])
-    jax.device_put(probe)  # warm
-    t0 = time.perf_counter()
-    d = jax.device_put(probe)
-    int(jnp.sum(d[0], dtype=jnp.int32))
-    link_mb_s = (H * W / 1e6) / (time.perf_counter() - t0)
+    # Sustained probe: ship several distinct frames back-to-back and sync
+    # once, so per-transfer tunnel latency amortizes the same way the
+    # pipeline's steady state does. A single-transfer probe counts one
+    # full tunnel round trip per frame and understates the bound (which
+    # made gop_pct_of_link_bound read >100% — not a believable number).
+    n_probe = 8
+
+    def probe_pass(frames):
+        t0 = time.perf_counter()
+        ds = [jax.device_put(jnp.asarray(f)) for f in frames]
+        int(sum(jnp.sum(d[0], dtype=jnp.int32) for d in ds))
+        return time.perf_counter() - t0
+
+    # Warm pass compiles the tiny sum programs and primes the transfer
+    # path; the timed passes ship n_probe FRESH frames each (device
+    # buffers are keyed by host array, so reuse would not transfer).
+    # The tunnel's sustained rate drifts ~2x between runs, so a bound
+    # must be the link's BEST: take the max over 3 passes.
+    probe_pass(refs[:n_probe])
+    dt = min(
+        probe_pass(refs[i * n_probe : (i + 1) * n_probe])
+        for i in range(1, 4)
+    )
+    link_mb_s = n_probe * (H * W / 1e6) / dt
     link_bound_fps = link_mb_s / (H * W / 1e6)
 
     with tempfile.TemporaryDirectory() as td:
@@ -250,6 +275,7 @@ def main():
                 "px_cand_unit": "T diff/s",
                 "pct_of_roofline": round(pct_roofline, 1),
                 "gop_fps_4k": round(gop_fps, 2),
+                "gop_h2d_mb_s": round(gop_fps * H * W / 1e6, 1),
                 "gop_link_mb_s": round(link_mb_s, 1),
                 "gop_pct_of_link_bound": round(
                     100.0 * gop_fps / link_bound_fps, 1
