@@ -749,7 +749,8 @@ def _kernel_phase(
     use_key: bool,
     emit_volume: bool = False,
 ):
-    """Phase-plane full-search kernel (blk_dim in {8, 16}, interior blocks).
+    """Phase-plane full-search kernel (blk_dim in {8, 16, 32}, interior
+    blocks).
 
     TPU-native redesign of the CUDA kernel's work (main_mse.cu:41-141) with
     NO per-candidate matmul and no per-candidate roll of the window band —
@@ -839,7 +840,16 @@ def _kernel_phase(
             w_ref[dy * g : (dy + 1) * g, :] = functools.reduce(
                 lambda a, b: a + b, terms
             )
-        x = _sliding_sums(w_ref[:], blk_dim, axis=1).astype(jnp.int32)
+        # Exactness gate for the lane sliding sum: the per-row chain sums
+        # in w are <= 255^2 * blk < 2^24 (exact f32), but the blk-wide
+        # lane sum can reach 255^2 * blk^2 — past 2^24 for blk 32 (SSD),
+        # so wide SSD blocks run the roll-and-add tree in int32.
+        if (65025 if metric == "mse" else 255) * blk_dim * blk_dim < 2**24:
+            x = _sliding_sums(w_ref[:], blk_dim, axis=1).astype(jnp.int32)
+        else:
+            x = _sliding_sums(
+                w_ref[:].astype(jnp.int32), blk_dim, axis=1
+            )
         valid = ok_x & (oky_ref[:] != i32max)
 
         # lax.select (the raw primitive), not jnp.where: jnp.where's
@@ -1388,10 +1398,11 @@ def _panel_widths(wp: int, blk_dim: int, target: int = _PANEL_TARGET):
 def _phase_supported(blk_dim: int, span: int, metric: str) -> bool:
     """Whether the phase-plane kernel covers this config: MSE/SAD, blocks
     that divide the 128-lane tiling (panel borders must align to both),
-    and a non-degenerate window."""
+    and a non-degenerate window. blk 32 runs the chain in f32 (row sums
+    < 2^24 stay exact) with an int32 sliding-sum fold."""
     return (
         metric in ("mse", "sad")
-        and blk_dim <= 16
+        and blk_dim <= 32
         and 128 % blk_dim == 0
         and span >= 1
     )
@@ -1426,7 +1437,7 @@ def full_search_frame_pallas(
       interpret: force interpreter mode (defaults to True off-TPU so tests
         run on CPU).
       phase: select the phase-plane kernel (the fastest path; default
-        auto = on whenever supported: MSE/SAD, blk_dim in {4, 8, 16},
+        auto = on whenever supported: MSE/SAD, blk_dim in {4, 8, 16, 32},
         span >= 1). phase=False forces the legacy chunked kernels.
       unroll_dx / chunk_dx / operand_bf16: legacy chunked-kernel tuning
         knobs (chunk 5 was the fastest pre-phase config on TPU v5e).
@@ -1444,7 +1455,7 @@ def full_search_frame_pallas(
     if phase and not _phase_supported(blk_dim, span, metric):
         raise ValueError(
             f"phase kernel requires metric mse/sad, blk_dim dividing 128 "
-            f"and <= 16, span >= 1; got blk_dim={blk_dim} span={span} "
+            f"and <= 32, span >= 1; got blk_dim={blk_dim} span={span} "
             f"metric={metric!r}"
         )
     if interpret is None:

@@ -230,21 +230,58 @@ def test_pallas_sad_legacy_int_path():
 
 
 def test_pallas_sad_wide_block_int_path():
-    """SAD at blk 32 (phase unsupported) uses the exact int kernel."""
+    """SAD at blk 32 with phase=False uses the exact int kernel."""
     rng = np.random.default_rng(4)
     cur, ref = _random_pair(rng, 96, 128)
     golden = fs.full_search_frame(cur, ref, blk_dim=32, span=5, metric="sad")
     pallas = full_search_frame_pallas(
         cur, ref, blk_dim=32, span=5, metric="sad", interpret=True,
+        phase=False,
+    )
+    _assert_fields_equal(pallas, golden)
+
+
+@pytest.mark.parametrize(
+    "h,w,span,metric",
+    [
+        (96, 160, 5, "mse"),    # int32 sliding-sum fold (SSD > 2^24)
+        (96, 160, 5, "sad"),    # packed-key path at blk 32
+        (100, 170, 7, "mse"),   # truncated edge blocks
+        (64, 64, 9, "mse"),     # window clamped to the whole frame
+    ],
+)
+def test_pallas_phase_blk32_matches_golden(h, w, span, metric):
+    """blk 32 on the phase kernel: chain sums stay exact in f32
+    (< 2^24) but the blk-wide lane sliding sum runs in int32."""
+    rng = np.random.default_rng(21)
+    cur, ref = _random_pair(rng, h, w)
+    golden = fs.full_search_frame(cur, ref, blk_dim=32, span=span,
+                                  metric=metric)
+    pallas = full_search_frame_pallas(
+        cur, ref, blk_dim=32, span=span, metric=metric, interpret=True,
+        phase=True,
+    )
+    _assert_fields_equal(pallas, golden)
+
+
+def test_pallas_phase_blk32_tie_breaking():
+    """Flat frames: every candidate ties; first-in-raster-order wins."""
+    cur = np.full((64, 64), 9, np.uint8)
+    golden = fs.full_search_frame(cur, cur, blk_dim=32, span=6,
+                                  metric="mse")
+    pallas = full_search_frame_pallas(
+        cur, cur, blk_dim=32, span=6, metric="mse", interpret=True,
+        phase=True,
     )
     _assert_fields_equal(pallas, golden)
 
 
 def test_pallas_phase_unsupported_raises():
-    cur = np.zeros((32, 32), np.uint8)
+    cur = np.zeros((48, 48), np.uint8)
     with pytest.raises(ValueError):
+        # 128 % 24 != 0: panel borders cannot align to the block grid
         full_search_frame_pallas(
-            cur, cur, blk_dim=32, span=4, phase=True, interpret=True
+            cur, cur, blk_dim=24, span=4, phase=True, interpret=True
         )
     with pytest.raises(ValueError):
         full_search_frame_pallas(
