@@ -136,6 +136,10 @@ def main():
     ns_1080 = search_time(1080, 1920, 16, 15)
     ns_blocks_4k = (2160 // 16) * (3840 // 16)
 
+    # BASELINE config 4 extreme point: 32x32 +-31 at 4K (phase kernel
+    # with the int32 sliding-sum fold; full blk sweep in results/tpu/v7.txt).
+    blk32_4k = search_time(2160, 3840, 32, 31)
+
     # --- BASELINE config 3: diamond vs full search, 1080p, slow motion.
     from motionestimation_tpu.search import diamond
 
@@ -290,6 +294,7 @@ def main():
                 "north_star_search_fps_1080p": round(1e3 / ns_1080, 2),
                 "diamond_1080p_ms": round(diamond_ms, 3),
                 "full_search_1080p_ms": round(full_1080_ms, 3),
+                "blk32_span31_4k_ms": round(blk32_4k, 3),
             }
         )
     )

@@ -9,7 +9,9 @@ reduce the motion field to a scalar on device, time the host fetch of
 that scalar, divide by N — so the single sync amortizes to <3% of every
 row. N is per-config (1024 CIF / 64 1080p / 16 4K).
 
-Run on the TPU chip:  python tools/record_v6.py
+Run on the TPU chip:  python tools/record_v6.py [version]
+(version defaults to 6; e.g. `python tools/record_v6.py 7` writes
+results/tpu/v7.txt and prints a per-row comparison against v6.)
 """
 from __future__ import annotations
 
@@ -161,7 +163,8 @@ def main():
         timed(ssim_one, j_cur, j_ref, 16),
     )
 
-    out = os.path.join("results", "tpu", "v6.txt")
+    version = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    out = os.path.join("results", "tpu", f"v{version}.txt")
     with open(out, "w") as f:
         f.write(
             "# TPU v5e, single chip. Search-KERNEL ms per frame, "
@@ -176,6 +179,23 @@ def main():
         for tag, ms in rows:
             f.write(f"[ {tag} ]\nkernel {ms:.4f} ms\n")
     print(f"wrote {out}")
+
+    # v{N} vs v{N-1} comparison, reference epsilon (run.sh:79: 0.1 ms).
+    prev = os.path.join("results", "tpu", f"v{version - 1}.txt")
+    if os.path.exists(prev):
+        import re
+
+        prev_rows = dict(
+            re.findall(
+                r"\[ (.+?) \]\nkernel ([\d.]+) ms", open(prev).read()
+            )
+        )
+        for tag, ms in rows:
+            if tag not in prev_rows:
+                continue
+            pms = float(prev_rows[tag])
+            flag = "REGRESSION" if ms > pms + 0.1 else "ok"
+            print(f"{flag}: {tag}: {ms:.4f} vs v{version - 1} {pms:.4f}")
 
 
 if __name__ == "__main__":
