@@ -5,11 +5,13 @@ TPU-native analogue of the reference's optimized CUDA kernel
 hierarchy instead of translated. The kernels share one driver:
 
 **Phase kernel** (`_kernel_phase`, the default for MSE/SAD with blk_dim
-dividing 128 and <= 16): restages the stripe into stride-blk "phase
+dividing 128 and <= 32): restages the stripe into stride-blk "phase
 planes" once, then evaluates every candidate with a blk-term VPU diff
 chain and a single cumulative lane roll per dx — no per-candidate matmul
 or band roll at all (see its docstring). ~1.8x the chunked kernel at 4K
-on TPU v5e, and the only path with native SAD.
+on TPU v5e (4x the wide kernel at blk 32), and the only path with
+native SAD. blk 32 SSD runs the lane sliding-sum fold in int32 (the
+only sum that can cross the f32-exact 2^24 range).
 
 **Chunked fast kernel** (`_kernel_f32`, blk_dim <= 16): per full-width row stripe,
 decompose SSD = (Qcur - X) + (Qref - X) where
@@ -28,7 +30,9 @@ the exact kernel on thin slabs and merges.
 
 **Exact kernel** (`_kernel_int`, any blk_dim): per-pixel int32 SSD with a
 roll-and-add segmented reduction; handles truncated blocks directly via
-per-position extents and masks. Used for blk_dim > 16 and edge slabs.
+per-position extents and masks. Used for edge slabs and any blk_dim the
+fast paths don't cover (the part-row wide kernel `_kernel_f32_wide`
+handles blk 24 when phase is off).
 
 Mosaic-shaped design notes (learned the hard way):
 * Grid = full-width row stripes: trailing block dims equal the array dims,
