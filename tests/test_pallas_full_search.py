@@ -77,6 +77,20 @@ def test_pallas_matches_reference_binary_foreman():
     _assert_fields_equal(pallas, golden)
 
 
+def test_pallas_phase_blk32_matches_reference_binary_foreman():
+    """blk-32 phase kernel on the real Foreman pair (C fixture
+    foreman_mse_32_8; 288x352 has truncated 32px edge blocks)."""
+    case = FixtureCase("foreman_mse_32_8")
+    golden = fs.full_search_frame(
+        case.cur, case.ref, blk_dim=case.blk_dim, span=case.span, metric="mse"
+    )
+    pallas = full_search_frame_pallas(
+        case.cur, case.ref, blk_dim=case.blk_dim, span=case.span,
+        interpret=True, phase=True,
+    )
+    _assert_fields_equal(pallas, golden)
+
+
 @pytest.mark.parametrize("h,w,blk,span", [(64, 64, 8, 4), (36, 52, 8, 5)])
 def test_pallas_unroll_dx_matches_golden(h, w, blk, span):
     """The static-slice (unrolled dx) kernel variant is bit-exact too."""
