@@ -34,6 +34,7 @@ def test_devices_available():
         (1, 8, 1, 128, 48, 8, 4),
         (2, 2, 2, 64, 64, 16, 7),
         (1, 2, 2, 36, 52, 4, 5),    # truncated edges land in padding
+        (1, 2, 2, 128, 128, 32, 5),  # blk-32 phase path per shard
     ],
 )
 def test_sharded_matches_unsharded(dp, ty, tx, h, w, blk, span):
