@@ -112,8 +112,41 @@ def main() -> int:
     )
     print(f"{'OK  ' if ok else 'FAIL'} foreman_sad_16_7 (sad blk 16 span 7)")
     failures += 0 if ok else 1
+    extra = 1
 
-    print(f"{len(cases) + 1 - failures}/{len(cases) + 1} cases bit-exact "
+    # BASELINE config-4 extreme point (blk 32, +-31): exercises the
+    # int32 sliding-sum fold (MSE, lexicographic argmin) and the packed
+    # int32 key at its widest fitting config (SAD) on hardware.
+    rng = np.random.default_rng(5)
+    h, w = 288, 352
+    ref = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    cur = np.clip(
+        np.roll(ref, (9, -13), (0, 1)).astype(np.int32)
+        + rng.integers(-8, 9, (h, w)),
+        0, 255,
+    ).astype(np.uint8)
+    for metric in ("sad", "mse"):
+        field = full_search_frame_pallas(
+            cur, ref, blk_dim=32, span=31, metric=metric, interpret=False
+        )
+        oracle = (
+            rm.full_search_sad if metric == "sad" else rm.full_search_mse
+        )
+        o_mvy, o_mvx, o_cost, _ = oracle(cur, ref, 32, 31)
+        ok = (
+            np.array_equal(np.asarray(field.mv_y), o_mvy)
+            and np.array_equal(np.asarray(field.mv_x), o_mvx)
+            and np.array_equal(
+                np.asarray(field.best_cost_i32).astype(np.int64), o_cost
+            )
+        )
+        print(f"{'OK  ' if ok else 'FAIL'} rand_{metric}_32_31 "
+              f"({metric} blk 32 span 31, {h}x{w})")
+        failures += 0 if ok else 1
+        extra += 1
+
+    total = len(cases) + extra
+    print(f"{total - failures}/{total} cases bit-exact "
           f"on backend={backend}")
     return 1 if failures else 0
 
