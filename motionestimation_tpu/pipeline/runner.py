@@ -25,12 +25,15 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import queue
+import threading
 import time
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from motionestimation_tpu.core import frames as frames_lib
 from motionestimation_tpu.core import geometry
@@ -276,6 +279,45 @@ def _mv_dump_path(output_dir, i: int) -> str:
     return os.path.join(os.fspath(output_dir), f"mv_{i:05d}.npz")
 
 
+@functools.lru_cache(maxsize=64)
+def _gop_chunk_fn(config: SearchConfig, backend: str, chunk_pairs: int):
+    """Device program for CHUNK_PAIRS consecutive frame pairs in ONE
+    dispatch: takes chunk_pairs+1 individual frames (each crosses the
+    host link exactly once — consecutive pairs share a frame), stacks
+    them on device, and lax.map's the per-pair search+stats body over
+    the pair windows. One dispatch + one result fetch per chunk is what
+    amortizes the per-call host round trip (~20-30 ms on the tunnel)
+    that made the per-pair pipeline dispatch-bound (round-3 verdict:
+    38.6% of the link bound)."""
+    base = _search_fn(config, backend)
+    mv_dtype = jnp.int8 if config.span <= 127 else jnp.int32
+
+    @jax.jit
+    def step(*frames):
+        stack = jnp.stack(frames)  # [C+1, H, W] in HBM
+
+        def one(cr):
+            cur, ref = cr
+            field, comp, _ = base(cur, ref)
+            comp = comp.astype(jnp.int32)
+            cur_i = cur.astype(jnp.int32)
+            err = comp - cur_i
+            row = jnp.sum(err * err, axis=1, dtype=jnp.int32)
+            sq_hi = jnp.sum(row >> 15, dtype=jnp.int32)
+            sq_lo = jnp.sum(row & 0x7FFF, dtype=jnp.int32)
+            fmax = jnp.max(jnp.maximum(comp, cur_i))
+            mv = jnp.stack([field.mv_y, field.mv_x]).astype(mv_dtype)
+            cost = (
+                field.score if config.metric == "ssim"
+                else field.best_cost_i32
+            )
+            return mv, cost, sq_hi, sq_lo, fmax
+
+        return lax.map(one, (stack[1:], stack[:-1]))
+
+    return step
+
+
 def run_gop(
     frame_paths: Sequence[str | os.PathLike],
     config: SearchConfig,
@@ -283,19 +325,37 @@ def run_gop(
     output_dir: str | os.PathLike,
     backend: str = "auto",
     resume: bool = True,
+    chunk_pairs: int = 8,
+    stats_out: dict | None = None,
 ) -> list[str]:
     """Process a GOP: pair i = (frames[i+1] as current, frames[i] as ref).
 
-    Stages the next pair to device while the current pair computes
-    (double-buffered prefetch, the analogue of the reference's pinned-host
-    staging at main_mse.cu:168-169). Each pair dumps `mv_%05d.npz`
-    (mv_y, mv_x, best_cost, psnr, timing row); existing dumps are skipped
-    when `resume` so a killed run restarts at frame granularity.
+    Pipelined end to end: frames are loaded and `device_put` ahead
+    (transfers are async, so the whole GOP's H2D traffic streams
+    back-to-back over the link), `chunk_pairs` consecutive pairs run per
+    jitted dispatch (lax.map inside — one host round trip per chunk, not
+    per pair), and a writer thread materializes results and dumps
+    `mv_%05d.npz` off the critical path. Steady state ships one new
+    frame per pair, so the rate ceiling is link_MB_s / frame_MB — the
+    analogue of the reference's pinned-host staging + single H2D at
+    main_mse.cu:168-207.
+
+    Each pair's `mv_%05d.npz` (mv_y, mv_x, best_cost, score, psnr)
+    doubles as a frame-granular checkpoint: existing dumps are skipped
+    when `resume` so a killed run restarts where it stopped.
+
+    `stats_out`, when given, receives a wall-clock phase split:
+    load_s (host YUV reads), h2d_enqueue_s (device_put issue; transfers
+    themselves overlap downstream), dispatch_s (jit call + async-D2H
+    issue), d2h_wait_s (writer blocked on results — covers the
+    H2D+compute+D2H pipeline depth), dump_s (npz writes), wall_s.
 
     Returns the list of dump paths (one per pair, including skipped).
     """
     backend = select_backend(backend)
-    step = _gop_step_fn(config, backend)
+    if chunk_pairs < 1:
+        raise ValueError("chunk_pairs must be >= 1")
+    step = _gop_chunk_fn(config, backend, chunk_pairs)
     os.makedirs(output_dir, exist_ok=True)
     h, w = config.frame_height, config.frame_width
     blk = config.blk_dim
@@ -318,66 +378,159 @@ def run_gop(
     if not todo:
         return out
 
-    def load(i):
-        return frames_lib.load_yuv(paths[i], h, w)
+    stats = {
+        "load_s": 0.0, "h2d_enqueue_s": 0.0, "dispatch_s": 0.0,
+        "d2h_wait_s": 0.0, "dump_s": 0.0, "wall_s": 0.0,
+        "pairs": len(todo), "chunks": 0,
+    }
+    t_wall = time.perf_counter()
 
-    # Prefetch: host frames -> device ahead of use.
-    host: dict[int, np.ndarray] = {}
+    # Consecutive runs of todo indices (resume can leave holes); pairs in
+    # a run share boundary frames. Runs are pairwise disjoint in frame
+    # indices (a one-pair hole still separates them by two frames), so
+    # the concatenated per-run frame ranges list each needed frame once,
+    # in consumption order.
+    runs: list[list[int]] = []
+    for i in todo:
+        if runs and runs[-1][-1] == i - 1:
+            runs[-1].append(i)
+        else:
+            runs.append([i])
+    frame_order: list[int] = []
+    for run in runs:
+        frame_order.extend(range(run[0], run[-1] + 2))
 
-    def frame_host(i):
-        if i not in host:
-            host[i] = load(i)
-        return host[i]
+    # Reader thread: disk reads AND device_put issue run ahead of the
+    # dispatch loop (window-bounded), so the transfer stream is fed as
+    # fast as frames load and neither ever stalls a dispatch — the
+    # analogue of the reference's pinned-host staging
+    # (main_mse.cu:168-169). Transfers enqueue in reader order ==
+    # consumption order, keeping the link FIFO busy end to end.
+    host_q: queue.Queue = queue.Queue()
+    read_window = threading.Semaphore(2 * chunk_pairs + 2)
+    reader_err: list[BaseException] = []
+
+    cancel = threading.Event()
+
+    def reader():
+        for i in frame_order:
+            read_window.acquire()
+            if cancel.is_set():
+                return
+            try:
+                t0 = time.perf_counter()
+                f = frames_lib.load_yuv(paths[i], h, w)
+                t1 = time.perf_counter()
+                d = jax.device_put(f)
+                stats["load_s"] += t1 - t0
+                stats["h2d_enqueue_s"] += time.perf_counter() - t1
+            except BaseException as e:  # noqa: BLE001 — re-raised in main
+                reader_err.append(e)
+                host_q.put((i, None))
+                return
+            host_q.put((i, d))
+
+    rt = threading.Thread(target=reader, name="gop-reader", daemon=True)
+    rt.start()
 
     staged: dict[int, jax.Array] = {}
 
     def frame_dev(i):
         if i not in staged:
-            staged[i] = jax.device_put(jnp.asarray(frame_host(i)))
+            j, d = host_q.get()
+            assert j == i, f"reader order skew: wanted {i}, got {j}"
+            if d is None:
+                raise reader_err[0]
+            staged[i] = d
+            read_window.release()
         return staged[i]
 
-    def drain(i, outs):
-        mv, cost, sq_hi, sq_lo, fmax = (np.asarray(x) for x in outs)
-        psnr = frames_lib.psnr_from_stats(
-            (int(sq_hi) << 15) + int(sq_lo), h * w, int(fmax)
-        )
-        if config.metric == "ssim":
-            best_cost = score = cost
-        else:
-            best_cost, score = cost, cost.astype(np.float32) / area
-        np.savez(
-            _mv_dump_path(output_dir, i),
-            mv_y=mv[0].astype(np.int32),
-            mv_x=mv[1].astype(np.int32),
-            best_cost=best_cost,
-            score=score,
-            psnr=psnr,
-            cur=paths[i + 1],
-            ref=paths[i],
-        )
-        staged.pop(i, None)
-        host.pop(i, None)
+    def dump_chunk(idxs, nps):
+        mv, cost, sq_hi, sq_lo, fmax = nps
+        t0 = time.perf_counter()
+        for slot, i in enumerate(idxs):
+            psnr = frames_lib.psnr_from_stats(
+                (int(sq_hi[slot]) << 15) + int(sq_lo[slot]),
+                h * w,
+                int(fmax[slot]),
+            )
+            if config.metric == "ssim":
+                best_cost = score = cost[slot]
+            else:
+                best_cost = cost[slot]
+                score = cost[slot].astype(np.float32) / area
+            np.savez(
+                _mv_dump_path(output_dir, i),
+                mv_y=mv[slot, 0].astype(np.int32),
+                mv_x=mv[slot, 1].astype(np.int32),
+                best_cost=best_cost,
+                score=score,
+                psnr=psnr,
+                cur=paths[i + 1],
+                ref=paths[i],
+            )
+        stats["dump_s"] += time.perf_counter() - t0
 
-    # Software pipeline: dispatch pair n, start async D2H of its ~0.8 MB
-    # result, stage pair n+1's frames, and only then materialize pair
-    # n-1's result — compute, H2D, and D2H all overlap on the transfer
-    # link (which, not the chip, bounds end-to-end rate on this host).
-    inflight: list[tuple[int, tuple]] = []
-    for n, i in enumerate(todo):
-        cur_d, ref_d = frame_dev(i + 1), frame_dev(i)
-        outs = step(cur_d, ref_d)
-        for a in outs:
-            a.copy_to_host_async()
-        inflight.append((i, outs))
-        # Overlap: stage the next pair while this one computes.
-        if n + 1 < len(todo):
-            j = todo[n + 1]
-            frame_dev(j)
-            frame_dev(j + 1)
-        if len(inflight) > 2:
-            drain(*inflight.pop(0))
-    for item in inflight:
-        drain(*item)
+    # Writer thread: blocking on device results and writing npz files
+    # happen off the dispatch path, so the main loop keeps the link fed.
+    work: queue.Queue = queue.Queue(maxsize=4)
+    writer_err: list[BaseException] = []
+
+    def writer():
+        while True:
+            item = work.get()
+            if item is None:
+                return
+            idxs, outs = item
+            try:
+                t0 = time.perf_counter()
+                nps = [np.asarray(o) for o in outs]
+                stats["d2h_wait_s"] += time.perf_counter() - t0
+                dump_chunk(idxs, nps)
+            except BaseException as e:  # noqa: BLE001 — re-raised in main
+                writer_err.append(e)
+                return
+
+    wt = threading.Thread(target=writer, name="gop-writer", daemon=True)
+    wt.start()
+
+    try:
+        for run in runs:
+            for c0 in range(0, len(run), chunk_pairs):
+                idxs = run[c0 : c0 + chunk_pairs]
+                frame_idx = [idxs[0]] + [i + 1 for i in idxs]
+                args = [frame_dev(i) for i in frame_idx]
+                # Pad the tail chunk by repeating the last frame: the
+                # extra (f, f) pairs compute throwaway results, keeping
+                # one compiled program shape for the whole GOP.
+                args += [args[-1]] * (chunk_pairs + 1 - len(args))
+                t0 = time.perf_counter()
+                outs = step(*args)
+                for o in outs:
+                    o.copy_to_host_async()
+                stats["dispatch_s"] += time.perf_counter() - t0
+                stats["chunks"] += 1
+                work.put((idxs, outs))
+                if writer_err:
+                    break
+                # Evict everything but the boundary frame shared with
+                # the next chunk (the dispatched program holds its own
+                # references while it runs).
+                for i in frame_idx[:-1]:
+                    staged.pop(i, None)
+            if writer_err:
+                break
+    finally:
+        work.put(None)
+        wt.join()
+        cancel.set()
+        read_window.release()  # unblock a reader stuck on an error path
+        rt.join()
+    if writer_err:
+        raise writer_err[0]
+    stats["wall_s"] = time.perf_counter() - t_wall
+    if stats_out is not None:
+        stats_out.update(stats)
     return out
 
 

@@ -49,6 +49,21 @@ def full_search_mse(cur: np.ndarray, ref: np.ndarray, blk_dim: int, span: int):
     Returns (mv_y, mv_x, best_ssd, best_mse_f32), each [nby, nbx].
     Candidate scan order and tie-breaking follow main.c:39-64: y-outer
     raster order, strict < on the float32 MSE.
+
+    blk-32 caveat (advisor round 3): this oracle's comparison domain is
+    the float32 cast of the EXACT integer SSD, while the C binary
+    (main.c:18-27) accumulates SSD sequentially in float32. For
+    blk_dim <= 16 both are exact (SSD < 2^24) and all domains agree
+    bit-for-bit; at blk 32 the SSD can reach 255²·1024 ≈ 2^26, where
+    C's accumulation order introduces rounding the exact-int domains
+    don't have, so on adversarial near-ties (candidates within the
+    float accumulation error, ~thousands at that magnitude) the C
+    binary, this oracle, and the integer-SSD golden/Pallas argmin can
+    each pick different MVs. The framework's canonical blk-32 semantics
+    are the EXACT integer SSD (golden/Pallas); parity with the C binary
+    at blk 32 is validated empirically on the committed fixtures
+    (tests/fixtures/foreman_mse_32_8), not guaranteed analytically.
+    See PARITY.md "blk-32 argmin domain".
     """
     height, width = cur.shape
     cur = cur.astype(np.int64)

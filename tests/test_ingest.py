@@ -124,3 +124,68 @@ def test_run_gop_psnr_matches_host_image_psnr(tmp_path):
     np.testing.assert_array_equal(d["mv_y"], pair.field.mv_y)
     np.testing.assert_array_equal(d["best_cost"], pair.field.best_cost_i32)
     np.testing.assert_array_equal(d["score"], pair.field.score)
+
+
+def test_run_gop_chunked_resume_holes_and_stats(tmp_path):
+    """Chunked GOP pipeline: tail-chunk padding, resume holes (a deleted
+    dump mid-GOP is recomputed alone, bit-identically), and the phase
+    split in stats_out covers the wall clock."""
+    from motionestimation_tpu.core import frames as frames_lib
+    from motionestimation_tpu.core.config import SearchConfig
+    from motionestimation_tpu.pipeline import runner
+
+    rng = np.random.default_rng(7)
+    h, w = 48, 64
+    frames = [rng.integers(0, 256, (h, w), dtype=np.uint8)]
+    for _ in range(5):
+        frames.append(
+            np.clip(
+                np.roll(frames[-1], (1, -1), (0, 1)).astype(np.int32)
+                + rng.integers(-2, 3, (h, w)),
+                0, 255,
+            ).astype(np.uint8)
+        )
+    paths = []
+    for i, f in enumerate(frames):
+        p = tmp_path / f"f{i}.yuv"
+        frames_lib.save_yuv(p, f)
+        paths.append(p)
+    config = SearchConfig(
+        blk_dim=8, span=4, frame_width=w, frame_height=h
+    )
+    outdir = tmp_path / "out"
+    stats: dict = {}
+    out = runner.run_gop(
+        paths, config, output_dir=outdir, backend="xla",
+        chunk_pairs=2, stats_out=stats,
+    )
+    assert len(out) == 5 and all(os.path.exists(p) for p in out)
+    assert stats["pairs"] == 5 and stats["chunks"] == 3
+    assert stats["wall_s"] > 0
+    golden = {}
+    for i in range(5):
+        d = np.load(out[i])
+        pair = runner.run_pair(
+            np.asarray(frames[i + 1]), np.asarray(frames[i]),
+            config, backend="xla",
+        )
+        np.testing.assert_array_equal(d["mv_y"], pair.field.mv_y)
+        np.testing.assert_array_equal(d["mv_x"], pair.field.mv_x)
+        np.testing.assert_array_equal(
+            d["best_cost"], pair.field.best_cost_i32
+        )
+        assert float(d["psnr"]) == pair.psnr
+        golden[i] = dict(np.load(out[i]))
+    # Punch a hole: pair 2 recomputes alone (an isolated 1-pair run,
+    # padded to the chunk width), others untouched.
+    os.remove(out[2])
+    mtimes = {p: os.stat(p).st_mtime for p in out if os.path.exists(p)}
+    runner.run_gop(
+        paths, config, output_dir=outdir, backend="xla", chunk_pairs=2
+    )
+    for p, t in mtimes.items():
+        assert os.stat(p).st_mtime == t
+    d = np.load(out[2])
+    np.testing.assert_array_equal(d["mv_y"], golden[2]["mv_y"])
+    np.testing.assert_array_equal(d["best_cost"], golden[2]["best_cost"])
+    assert float(d["psnr"]) == float(golden[2]["psnr"])

@@ -79,7 +79,10 @@ def test_pallas_matches_reference_binary_foreman():
 
 def test_pallas_phase_blk32_matches_reference_binary_foreman():
     """blk-32 phase kernel on the real Foreman pair (C fixture
-    foreman_mse_32_8; 288x352 has truncated 32px edge blocks)."""
+    foreman_mse_32_8). 288x352 = 9x11 whole 32px blocks, so this case has
+    NO truncated blocks; blk-32 edge truncation (the thin-slab merge) is
+    covered by the (100, 170) random case in
+    test_pallas_phase_blk32_matches_golden."""
     case = FixtureCase("foreman_mse_32_8")
     golden = fs.full_search_frame(
         case.cur, case.ref, blk_dim=case.blk_dim, span=case.span, metric="mse"

@@ -71,9 +71,11 @@ def main() -> int:
             field = ssim_search_frame_pallas(
                 cur, ref, blk_dim=blk, span=span, interpret=False
             )
-            o_mvy, o_mvx, _ = rm.full_search_ssim(cur, ref, blk, span)
-            ok = np.array_equal(np.asarray(field.mv_y), o_mvy) and (
-                np.array_equal(np.asarray(field.mv_x), o_mvx)
+            o_mvy, o_mvx, o_score = rm.full_search_ssim(cur, ref, blk, span)
+            ok = (
+                np.array_equal(np.asarray(field.mv_y), o_mvy)
+                and np.array_equal(np.asarray(field.mv_x), o_mvx)
+                and np.array_equal(np.asarray(field.score), o_score)
             )
         else:
             field = full_search_frame_pallas(
