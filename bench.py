@@ -218,35 +218,27 @@ def main():
     from motionestimation_tpu.core.config import SearchConfig
     from motionestimation_tpu.pipeline import runner
 
-    # Sustained probe: ship several distinct frames back-to-back and sync
-    # once, so per-transfer tunnel latency amortizes the same way the
-    # pipeline's steady state does. A single-transfer probe counts one
-    # full tunnel round trip per frame and understates the bound (which
-    # made gop_pct_of_link_bound read >100% — not a believable number).
-    n_probe = 8
-
+    # Sustained probe: ship a GOP-sized train of distinct frames
+    # back-to-back and sync once, so per-transfer tunnel latency
+    # amortizes the same way the pipeline's steady state does (a
+    # single-transfer probe counts one full tunnel round trip per frame
+    # and understates the bound; a short train overstates drift). The
+    # tunnel's sustained rate drifts ~2x between measurement windows
+    # (measured 27-58 MB/s across minutes), so the bound is BRACKETED:
+    # one GOP-sized pass immediately before AND after the timed GOP, and
+    # the bound takes the link's best pass — generous toward the link,
+    # so gop_pct_of_link_bound never flatters the pipeline. The probe
+    # band [min, max] plus gop_effective_link_mb_s (total bytes the run
+    # moved / wall) make the attribution checkable: effective rate
+    # inside the band == the run was link-bound.
     def probe_pass(frames):
         t0 = time.perf_counter()
         ds = [jax.device_put(jnp.asarray(f)) for f in frames]
         int(sum(jnp.sum(d[0], dtype=jnp.int32) for d in ds))
         return time.perf_counter() - t0
 
-    # Warm pass compiles the tiny sum programs and primes the transfer
-    # path; the timed passes ship n_probe FRESH frames each (device
-    # buffers are keyed by host array, so reuse would not transfer).
-    # The tunnel's sustained rate drifts ~2x between measurement windows
-    # (measured 27-58 MB/s across minutes), so the bound is BRACKETED:
-    # probe passes run immediately before AND after the GOP and the
-    # bound takes the link's best pass — generous toward the link, so
-    # gop_pct_of_link_bound never flatters the pipeline.
-    probe_pass(refs[:n_probe])
-
-    def probe_rates(lo, hi):
-        return [
-            n_probe * (H * W / 1e6)
-            / probe_pass(refs[i * n_probe : (i + 1) * n_probe])
-            for i in range(lo, hi)
-        ]
+    probe_pass(refs[:4])  # warm: compiles the tiny sum programs
+    n_probe = GOP_FRAMES - 1
 
     with tempfile.TemporaryDirectory() as td:
         paths = []
@@ -269,9 +261,11 @@ def main():
         # warmup: compile the chunk program + prime the transfer path
         # (a 2-frame GOP pads to the same 8-pair program shape).
         runner.run_gop(paths[:2], config, output_dir=outdir, resume=False)
-        # Pre-run probe passes, taken immediately before the timed run so
+        # Pre-run probe pass, taken immediately before the timed run so
         # the bracketing window is as tight as the drift allows.
-        rates_pre = probe_rates(1, 4)
+        rates_pre = [
+            n_probe * (H * W / 1e6) / probe_pass(refs[4 : 4 + n_probe])
+        ]
         gop_stats: dict = {}
         t0 = time.perf_counter()
         runner.run_gop(
@@ -281,17 +275,17 @@ def main():
         gop_s = time.perf_counter() - t0
         gop_fps = (GOP_FRAMES - 1) / gop_s
 
-    # Post-run probe passes (fresh frames so every put really transfers).
-    post_frames = rng.integers(
-        0, 256, (2 * n_probe, H, W), dtype=np.uint8
-    )
-    rates_post = [
-        n_probe * (H * W / 1e6)
-        / probe_pass(post_frames[i * n_probe : (i + 1) * n_probe])
-        for i in range(2)
-    ]
+    # Post-run probe pass (fresh frames so every put really transfers).
+    post_frames = rng.integers(0, 256, (n_probe, H, W), dtype=np.uint8)
+    rates_post = [n_probe * (H * W / 1e6) / probe_pass(post_frames)]
     link_mb_s = max(rates_pre + rates_post)
     link_bound_fps = link_mb_s / (H * W / 1e6)
+    # Total bytes the timed run moved over the link (H2D frames + D2H
+    # packed results) / wall — landing inside the probe band is the
+    # "run was link-bound" evidence.
+    nby, nbx = (H + BLK - 1) // BLK, (W + BLK - 1) // BLK
+    gop_bytes = GOP_FRAMES * H * W + (GOP_FRAMES - 1) * nby * nbx * 4
+    eff_link_mb_s = gop_bytes / 1e6 / max(gop_stats.get("wall_s", gop_s), 1e-9)
 
     print(
         json.dumps(
@@ -312,6 +306,7 @@ def main():
                 "gop_link_probe_min_mb_s": round(
                     min(rates_pre + rates_post), 1
                 ),
+                "gop_effective_link_mb_s": round(eff_link_mb_s, 1),
                 "gop_pct_of_link_bound": round(
                     100.0 * gop_fps / link_bound_fps, 1
                 ),

@@ -1700,30 +1700,120 @@ def full_search_tile_pallas(
     ]
 
 
+def full_search_volume_tile_pallas(
+    cur_tile,
+    ref_halo,
+    y_origin,
+    x_origin,
+    *,
+    frame_height: int,
+    frame_width: int,
+    blk_dim: int,
+    span: int,
+    metric: str = "mse",
+    interpret: bool = False,
+):
+    """Per-shard [K², th//blk, tw//blk] int32 cost volume via the phase
+    kernel's volume emission — the tile/shard_map analogue of
+    `full_search_volume_pallas`, with the shard's global origin supplied
+    as a traced (y_origin, x_origin) pair so one compiled program serves
+    every shard (same contract as `full_search_tile_pallas`).
+
+    cur_tile: [th, tw] (multiples of blk_dim); ref_halo:
+    [th + 2*span, tw + 2*span], row/col i ↔ tile row/col i - span, zero
+    outside the frame. Invalid displacements (candidate off the global
+    frame) hold an int32-max sentinel. Consumer: the sharded staged
+    diamond (`search.diamond.diamond_search_tile`).
+
+    NOTE: interpret-mode lowering of the emit loop trips a JAX
+    closed_call lowering-cache bug (same as `full_search_volume_pallas`);
+    off-TPU callers should use the golden tile volume instead.
+    """
+    th, tw = cur_tile.shape
+    if th % blk_dim or tw % blk_dim:
+        raise ValueError(
+            f"tile dims must be multiples of blk_dim, got {th}x{tw}"
+        )
+    if not _phase_supported(blk_dim, span, metric):
+        raise ValueError(
+            f"phase kernel unsupported for blk_dim={blk_dim} span={span} "
+            f"metric={metric!r}"
+        )
+    tile_h = 8 * blk_dim
+    hp2 = _round_up(th, tile_h)
+    halo_row_pad = _round_up(2 * span, 8)
+    ref_rows = hp2 + halo_row_pad
+    panel_target = _phase_panel_target(
+        blk_dim, span, metric, emit_volume=True
+    )
+    cur_f = cur_tile.astype(jnp.float32)
+    ref_f = ref_halo.astype(jnp.float32)
+
+    vol_panels = []
+    for x0p, pw in _panel_widths(_round_up(tw, blk_dim), blk_dim,
+                                 panel_target):
+        halo_w = _round_up(pw + 2 * span, 128)
+        cur_p = _pad_slab(
+            cur_f, row_range=(0, hp2), col_range=(x0p, x0p + pw),
+            out_rows=hp2, out_cols=pw, offset_r=0, offset_c=0,
+            dtype=jnp.float32,
+        )
+        ref_p = _pad_slab(
+            ref_f, row_range=(0, ref_rows), col_range=(x0p, x0p + halo_w),
+            out_rows=ref_rows, out_cols=halo_w, offset_r=0, offset_c=0,
+            dtype=jnp.float32,
+        )
+        origins = jnp.stack(
+            [jnp.asarray(y_origin), jnp.asarray(x_origin) + x0p]
+        ).astype(jnp.int32)
+        _, _, vol = _run_phase(
+            cur_p, ref_p, origins,
+            blk_dim=blk_dim, span=span,
+            frame_height=frame_height, frame_width=frame_width,
+            metric=metric, interpret=interpret, emit_volume=True,
+        )
+        vol_panels.append(
+            vol[:, : th // blk_dim, ::blk_dim][:, :, : pw // blk_dim]
+        )
+    return jnp.concatenate(vol_panels, axis=2)[:, :, : tw // blk_dim]
+
+
 def full_search_volume_pallas(
     cur,
     ref,
     *,
     blk_dim: int,
     span: int,
+    metric: str = "mse",
     tile: int | None = None,
     interpret: bool | None = None,
     chunk_dx: int = 5,
 ):
-    """Full [K², nby, nbx] int32 SSD cost volume via the fast Pallas kernel.
+    """Full [K², nby, nbx] int32 SSD/SAD cost volume via the fast Pallas
+    kernel.
 
     Bit-exact (for valid candidates) vs the golden
     `full_search_tile(return_cost_volume=True)`; invalid displacements
-    hold a sentinel larger than any SSD. Truncated edge blocks are
-    recomputed with the golden tile on thin slabs. blk_dim <= 16 only.
+    hold a sentinel larger than any cost. Truncated edge blocks are
+    recomputed with the golden tile on thin slabs. Supports every
+    phase-kernel config (MSE/SAD, blk_dim in {4, 8, 16, 32}); blk 32
+    uses the int32 sliding-sum fold.
 
     The consumer is diamond search (search/diamond.py): on TPU the full
     volume is bandwidth-cheap to materialise while per-block sparse
     window evaluation is gather-bound, so diamond replays its trajectory
     over this volume.
     """
-    if blk_dim > 16:
-        raise ValueError("full_search_volume_pallas requires blk_dim <= 16")
+    if metric not in ("mse", "sad"):
+        raise ValueError(
+            f"full_search_volume_pallas supports metric 'mse' or 'sad', "
+            f"got {metric!r}"
+        )
+    if not (blk_dim <= 16 or _phase_supported(blk_dim, span, metric)):
+        raise ValueError(
+            f"full_search_volume_pallas: unsupported blk_dim={blk_dim} "
+            f"(needs blk_dim <= 16 or a phase-kernel config)"
+        )
     if span < 1:
         # The emit_volume drain loop assumes k >= 2 DMA slots (it waits on
         # slot (k-2) % 2); span 0 is a degenerate 1-candidate "search".
@@ -1731,7 +1821,7 @@ def full_search_volume_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _full_search_volume_jit(
-        cur, ref, blk_dim=blk_dim, span=span,
+        cur, ref, blk_dim=blk_dim, span=span, metric=metric,
         tile=tile if tile is not None else 128, interpret=interpret,
         chunk_dx=chunk_dx if chunk_dx > 1 else 5,
     )
@@ -1739,10 +1829,12 @@ def full_search_volume_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("blk_dim", "span", "tile", "interpret", "chunk_dx"),
+    static_argnames=(
+        "blk_dim", "span", "metric", "tile", "interpret", "chunk_dx"
+    ),
 )
-def _full_search_volume_jit(cur, ref, *, blk_dim, span, tile, interpret,
-                            chunk_dx):
+def _full_search_volume_jit(cur, ref, *, blk_dim, span, metric, tile,
+                            interpret, chunk_dx):
     frame_height, frame_width = cur.shape
     hp, wp = geometry.padded_dims(frame_height, frame_width, blk_dim)
     nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
@@ -1753,7 +1845,23 @@ def _full_search_volume_jit(cur, ref, *, blk_dim, span, tile, interpret,
     # trips a JAX closed_call lowering-cache KeyError, so CPU/interpret
     # keeps the chunked emit path (bit-identical output; the hardware
     # cross-check of phase==chunked volumes is in results/tpu/ notes).
-    use_phase = _phase_supported(blk_dim, span, "mse") and not interpret
+    use_phase = _phase_supported(blk_dim, span, metric) and not interpret
+    if not use_phase and (metric != "mse" or blk_dim > 16):
+        # The legacy chunked emit kernel covers MSE blk <= 16 only; other
+        # interpret-mode configs (SAD volumes, blk 32) take the golden
+        # XLA volume — bit-identical by construction, and the staged
+        # diamond consumer only needs it off-TPU (tests / dry-runs).
+        cur_p = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
+        ref_halo = fs.make_ref_halo(
+            ref, frame_height, frame_width, blk_dim, span
+        )
+        _, volume = fs.full_search_tile(
+            cur_p, ref_halo, 0, 0,
+            frame_height=frame_height, frame_width=frame_width,
+            blk_dim=blk_dim, span=span, metric=metric,
+            return_cost_volume=True,
+        )
+        return volume
     stripe_unit = 8 * blk_dim
     if use_phase:
         tile_h = stripe_unit
@@ -1765,7 +1873,7 @@ def _full_search_volume_jit(cur, ref, *, blk_dim, span, tile, interpret,
     hp2 = _round_up(hp, tile_h)
     halo_row_pad = _round_up(2 * span, 8)
     panel_target = (
-        _phase_panel_target(blk_dim, span, "mse", emit_volume=True)
+        _phase_panel_target(blk_dim, span, metric, emit_volume=True)
         if use_phase
         else _PANEL_TARGET
     )
@@ -1790,7 +1898,7 @@ def _full_search_volume_jit(cur, ref, *, blk_dim, span, tile, interpret,
                 cur_p, ref_p, jnp.array([0, x0], jnp.int32),
                 blk_dim=blk_dim, span=span,
                 frame_height=frame_height, frame_width=frame_width,
-                metric="mse", interpret=interpret, emit_volume=True,
+                metric=metric, interpret=interpret, emit_volume=True,
             )
         else:
             _, _, vol = _run_f32(
@@ -1816,7 +1924,7 @@ def _full_search_volume_jit(cur, ref, *, blk_dim, span, tile, interpret,
                 ref_halo[y_org : y_org + blk_dim + 2 * span, :],
                 y_org, 0,
                 frame_height=frame_height, frame_width=frame_width,
-                blk_dim=blk_dim, span=span, metric="mse",
+                blk_dim=blk_dim, span=span, metric=metric,
                 return_cost_volume=True,
             )
             volume = volume.at[:, nby - 1, :].set(v[:, 0, :])
@@ -1827,7 +1935,7 @@ def _full_search_volume_jit(cur, ref, *, blk_dim, span, tile, interpret,
                 ref_halo[:, x_org : x_org + blk_dim + 2 * span],
                 0, x_org,
                 frame_height=frame_height, frame_width=frame_width,
-                blk_dim=blk_dim, span=span, metric="mse",
+                blk_dim=blk_dim, span=span, metric=metric,
                 return_cost_volume=True,
             )
             volume = volume.at[:, :, nbx - 1].set(v[:, :, 0])

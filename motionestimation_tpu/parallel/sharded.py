@@ -102,7 +102,8 @@ def _resolve_backend(backend: str, blk_dim: int, span: int, metric: str):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "blk_dim", "span", "metric",
-                     "frame_height", "frame_width", "backend"),
+                     "frame_height", "frame_width", "backend",
+                     "algorithm"),
 )
 def sharded_motion_step(
     cur_batch,
@@ -115,6 +116,7 @@ def sharded_motion_step(
     frame_height: int,
     frame_width: int,
     backend: str = "auto",
+    algorithm: str = "full",
 ):
     """One full motion-estimation step for a batch of frame pairs.
 
@@ -126,9 +128,18 @@ def sharded_motion_step(
     and cross-checks), or "auto" (pallas whenever the kernel supports the
     config).
 
+    algorithm: "full" (exhaustive search) or "diamond" (per-shard staged
+    diamond, BASELINE config 3 — `search.diamond.diamond_search_tile`;
+    diamond candidates reach at most ±span, so the same halo exchange
+    serves both; sharded == unsharded == diamond_search_np bit-exact).
+    Under "diamond", backend "pallas" means phase-kernel level volumes
+    per shard and "golden" means XLA tile volumes.
+
     This is the function the multi-chip dry-run jits over the mesh: search
     + halo exchange + compensation + metric reduction in one program.
     """
+    if algorithm not in ("full", "diamond"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     backend = _resolve_backend(backend, blk_dim, span, metric)
     ty = mesh.shape["ty"]
     tx = mesh.shape["tx"]
@@ -153,7 +164,19 @@ def sharded_motion_step(
             ref_halo = halo_lib.halo_exchange_2d(
                 ref_t, span, ty_size=ty, tx_size=tx
             )
-            if backend == "pallas" and metric == "ssim":
+            if algorithm == "diamond":
+                from motionestimation_tpu.search import diamond
+
+                mv_y, mv_x, cost = diamond.diamond_search_tile(
+                    cur_t, ref_halo, y0, x0,
+                    frame_height=frame_height, frame_width=frame_width,
+                    blk_dim=blk_dim, span=span, metric=metric,
+                    use_pallas_volume=(
+                        backend == "pallas" and metric != "ssim"
+                        and not interpret
+                    ),
+                )
+            elif backend == "pallas" and metric == "ssim":
                 cost, idx = ssim_kp.ssim_search_tile_pallas(
                     cur_t, ref_halo, y0, x0,
                     frame_height=frame_height, frame_width=frame_width,
@@ -196,15 +219,41 @@ def sharded_motion_step(
         # varying updates; skip the varying-axes check
     )(cur_p, ref_p)
 
-    # --- Truncated-block repair (Pallas backend only; the golden tile
-    # search handles truncation natively via masks). The phase kernel
-    # assumes full blk×blk blocks, so the global last block row/column is
-    # recomputed with the golden scan on thin slabs — plain XLA on the
-    # sharded arrays, partitioned automatically (the slabs are a few
-    # hundred KB even at 4K).
-    if backend == "pallas" and (
-        frame_height % blk_dim or frame_width % blk_dim
-    ):
+    # --- Truncated-block repair (Pallas kernels/volumes only; the golden
+    # tile search and golden tile volumes handle truncation natively via
+    # masks). The phase kernel assumes full blk×blk blocks, so the global
+    # last block row/column is recomputed on thin slabs — golden scan for
+    # full search, golden-volume diamond replay for diamond — plain XLA
+    # on the sharded arrays, partitioned automatically (the slabs are a
+    # few hundred KB even at 4K).
+    needs_repair = (
+        backend == "pallas"
+        and (algorithm == "full" or (metric != "ssim" and not interpret))
+    )
+    if needs_repair and (frame_height % blk_dim or frame_width % blk_dim):
+        from motionestimation_tpu.search import diamond
+
+        def slab_search(c, r, yo, xo):
+            if algorithm == "diamond":
+                mvy, mvx, fc = diamond.diamond_search_tile(
+                    c, r, yo, xo,
+                    frame_height=frame_height, frame_width=frame_width,
+                    blk_dim=blk_dim, span=span, metric=metric,
+                    use_pallas_volume=False,
+                )
+            else:
+                f = fs.full_search_tile(
+                    c, r, yo, xo,
+                    frame_height=frame_height, frame_width=frame_width,
+                    blk_dim=blk_dim, span=span, metric=metric,
+                )
+                mvy, mvx = f.mv_y, f.mv_x
+                fc = f.score if metric == "ssim" else f.best_cost_i32
+            cm = fs.compensate_tile(
+                r, mvy, mvx, blk_dim=blk_dim, span=span
+            )
+            return mvy, mvx, fc, cm
+
         ref_halo_g = jnp.pad(
             ref_p, ((0, 0), (span, span), (span, span))
         )
@@ -214,16 +263,8 @@ def sharded_motion_step(
             slab_ref = ref_halo_g[:, y_t : y_t + blk_dim + 2 * span, :]
 
             def fix_row(c, r):
-                f = fs.full_search_tile(
-                    c, r, y_t, 0,
-                    frame_height=frame_height, frame_width=frame_width,
-                    blk_dim=blk_dim, span=span, metric=metric,
-                )
-                cm = fs.compensate_tile(
-                    r, f.mv_y, f.mv_x, blk_dim=blk_dim, span=span
-                )
-                fc = f.score if metric == "ssim" else f.best_cost_i32
-                return f.mv_y[0], f.mv_x[0], fc[0], cm
+                mvy, mvx, fc, cm = slab_search(c, r, y_t, 0)
+                return mvy[0], mvx[0], fc[0], cm
 
             fy, fx, fc, fcomp = jax.vmap(fix_row)(slab_cur, slab_ref)
             mv_y = mv_y.at[:, nby - 1, :].set(fy)
@@ -236,16 +277,8 @@ def sharded_motion_step(
             slab_ref = ref_halo_g[:, :, x_t : x_t + blk_dim + 2 * span]
 
             def fix_col(c, r):
-                f = fs.full_search_tile(
-                    c, r, 0, x_t,
-                    frame_height=frame_height, frame_width=frame_width,
-                    blk_dim=blk_dim, span=span, metric=metric,
-                )
-                cm = fs.compensate_tile(
-                    r, f.mv_y, f.mv_x, blk_dim=blk_dim, span=span
-                )
-                fc = f.score if metric == "ssim" else f.best_cost_i32
-                return f.mv_y[:, 0], f.mv_x[:, 0], fc[:, 0], cm
+                mvy, mvx, fc, cm = slab_search(c, r, 0, x_t)
+                return mvy[:, 0], mvx[:, 0], fc[:, 0], cm
 
             fy, fx, fc, fcomp = jax.vmap(fix_col)(slab_cur, slab_ref)
             mv_y = mv_y.at[:, :, nbx - 1].set(fy)

@@ -258,6 +258,8 @@ def _round_plan(span: int, max_steps: int):
 )
 def _diamond_replay(
     volume,
+    y_origin=0,
+    x_origin=0,
     *,
     blk_dim: int,
     span: int,
@@ -292,13 +294,19 @@ def _diamond_replay(
     (its LDSP lookups reach center+2), or span-1 at the SDSP step. Up to
     the first such event the trajectory is exactly canonical, so
     non-escaped blocks are exact and escaped ones are recomputed at the
-    next level."""
+    next level.
+
+    (y_origin, x_origin) — traced global coordinates of the volume's
+    first block's top-left pixel: (0, 0) for whole-frame volumes, the
+    shard origin for per-tile volumes under shard_map (they only affect
+    the truncated-extent pixel counts used by early_term and the mean
+    score; window validity is encoded in the volume's sentinels)."""
     _, nby, nbx = volume.shape
     minimise = metric in ("mse", "sad")
     k = 2 * span + 1
 
     tl_y, tl_x, blk_h, blk_w = geometry.block_extents(
-        0, 0, nby, nbx, blk_dim, frame_height, frame_width
+        y_origin, x_origin, nby, nbx, blk_dim, frame_height, frame_width
     )
     count = blk_h * blk_w
 
@@ -692,8 +700,9 @@ def diamond_search_frame(
     """Whole-frame diamond search. cur/ref: [H, W] u8/i32 arrays.
 
     volume_mode:
-      "auto" / "staged" — adaptive staged volumes (MSE, blk_dim <= 16;
-        falls back to "lazy" otherwise): compute a radius-capped Pallas
+      "auto" / "staged" — adaptive staged volumes (MSE/SAD at blk 4-32,
+        `staged_supported`; falls back to "lazy" otherwise — SSIM stays
+        lazy): compute a radius-capped Pallas
         cost volume (levels 4, 8, 16, ..., span), replay over it, and
         escalate — under `lax.cond`, so skipped levels cost nothing —
         only when some block's trajectory could leave the cap. Typical
@@ -725,10 +734,10 @@ def diamond_search_frame(
     if max_steps is None:
         max_steps = default_max_steps(span)
     if volume_mode in ("auto", "staged"):
-        if metric == "mse" and blk_dim <= 16 and span >= 2:
+        if staged_supported(blk_dim, span, metric):
             field, traj = _diamond_staged(
                 cur, ref,
-                blk_dim=blk_dim, span=span,
+                blk_dim=blk_dim, span=span, metric=metric,
                 early_term=early_term, max_steps=max_steps,
                 record_trajectory=record_trajectory,
                 frame_height=frame_height, frame_width=frame_width,
@@ -744,12 +753,12 @@ def diamond_search_frame(
             frame_height=frame_height, frame_width=frame_width,
         )
     elif volume_mode == "full":
-        if metric == "mse" and blk_dim <= 16:
+        if staged_supported(blk_dim, span, metric) and span >= 1:
             # Fast Pallas cost volume (bit-exact vs the golden tile's).
             from motionestimation_tpu.kernels import full_search_pallas as ker
 
             volume = ker.full_search_volume_pallas(
-                cur, ref, blk_dim=blk_dim, span=span
+                cur, ref, blk_dim=blk_dim, span=span, metric=metric
             )
         else:
             cur_p = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
@@ -773,6 +782,21 @@ def diamond_search_frame(
     return field
 
 
+def staged_supported(blk_dim: int, span: int, metric: str) -> bool:
+    """Whether the adaptive staged-volume fast path covers this config:
+    MSE/SAD wherever the Pallas volume kernel (or its golden off-TPU
+    fallback) can emit level volumes — blk <= 16 via the chunked/phase
+    families, blk 32 via the phase kernel's int32 sliding-sum fold.
+    SSIM stays lazy (float scores don't pack into integer volumes)."""
+    from motionestimation_tpu.kernels import full_search_pallas as ker
+
+    return (
+        metric in ("mse", "sad")
+        and span >= 2
+        and (blk_dim <= 16 or ker._phase_supported(blk_dim, span, metric))
+    )
+
+
 def _staged_levels(span: int) -> tuple[int, ...]:
     """Volume radii to try in order: 6, 12, 24, ... capped at span.
 
@@ -792,7 +816,7 @@ def _staged_levels(span: int) -> tuple[int, ...]:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "blk_dim", "span", "early_term", "max_steps",
+        "blk_dim", "span", "metric", "early_term", "max_steps",
         "record_trajectory", "frame_height", "frame_width",
     ),
 )
@@ -807,8 +831,10 @@ def _diamond_staged(
     record_trajectory: bool,
     frame_height: int,
     frame_width: int,
+    metric: str = "mse",
 ):
-    """Adaptive staged-volume diamond (MSE, blk_dim <= 16).
+    """Adaptive staged-volume diamond (MSE/SAD, blk_dim <= 32 — see
+    `staged_supported`).
 
     Level r computes the radius-r sub-window cost volume with the fused
     Pallas volume kernel — identical integer costs to the golden path
@@ -827,11 +853,11 @@ def _diamond_staged(
 
     def run_level(r):
         vol = ker.full_search_volume_pallas(
-            cur, ref, blk_dim=blk_dim, span=r
+            cur, ref, blk_dim=blk_dim, span=r, metric=metric
         )
         field, traj, esc = _diamond_replay(
             vol,
-            blk_dim=blk_dim, span=r, metric="mse",
+            blk_dim=blk_dim, span=r, metric=metric,
             early_term=early_term, max_steps=max_steps,
             record_trajectory=record_trajectory,
             frame_height=frame_height, frame_width=frame_width,
@@ -864,6 +890,126 @@ def _diamond_staged(
     if not record_trajectory:
         traj = None
     return field, traj
+
+
+def diamond_search_tile(
+    cur_tile,
+    ref_halo,
+    y_origin,
+    x_origin,
+    *,
+    frame_height: int,
+    frame_width: int,
+    blk_dim: int,
+    span: int,
+    metric: str = "mse",
+    early_term: float | None = None,
+    max_steps: int | None = None,
+    record_trajectory: bool = False,
+    use_pallas_volume: bool = False,
+):
+    """Per-shard diamond search over one mesh tile — the shard_map
+    analogue of `diamond_search_frame`, with the shard's global origin
+    supplied as a traced (y_origin, x_origin) pair so one compiled
+    program serves every shard (BASELINE config 3 on a mesh; the mesh
+    launch is the analogue of the CUDA grid at main_mse.cu:212-223).
+
+    cur_tile: [th, tw] (multiples of blk_dim); ref_halo:
+    [th + 2*span, tw + 2*span] from `parallel.halo.halo_exchange_2d` —
+    diamond candidates reach at most ±span, exactly the full-search
+    halo footprint, so the same exchange serves both algorithms.
+
+    MSE/SAD run the staged-volume fast path per shard (level-r volumes
+    from the sliced halo; per-shard escalation under lax.cond — a
+    shard's level choice never affects exactness, so
+    sharded == unsharded == `diamond_search_np` stays bit-exact).
+    SSIM replays over the golden full-span float volume. Volumes come
+    from the Pallas phase kernel when `use_pallas_volume` (real-TPU
+    shards) and the golden XLA tile otherwise (bit-identical; interpret
+    mode cannot lower the Pallas emit loop).
+
+    Blocks truncated by the GLOBAL frame edge are exact here only on
+    the golden-volume path; the Pallas volume assumes whole blocks and
+    the sharded driver repairs the last global block row/column with a
+    golden thin-slab pass (same contract as the full-search kernels).
+
+    Returns (mv_y, mv_x, cost[, trajectory]) — cost is the integer
+    SSD/SAD (or float SSIM score); trajectory as `diamond_search_np`.
+    """
+    th, tw = cur_tile.shape
+    if th % blk_dim or tw % blk_dim:
+        raise ValueError(
+            f"tile dims must be multiples of blk_dim, got {th}x{tw}"
+        )
+    if max_steps is None:
+        max_steps = default_max_steps(span)
+
+    def level_volume(r):
+        """Radius-r cost volume for this tile (sentinel at invalid)."""
+        s0 = span - r
+        rh = ref_halo[s0 : s0 + th + 2 * r, s0 : s0 + tw + 2 * r]
+        if use_pallas_volume and metric in ("mse", "sad"):
+            from motionestimation_tpu.kernels import full_search_pallas as ker
+
+            return ker.full_search_volume_tile_pallas(
+                cur_tile, rh, y_origin, x_origin,
+                frame_height=frame_height, frame_width=frame_width,
+                blk_dim=blk_dim, span=r, metric=metric,
+            )
+        _, vol = fs.full_search_tile(
+            cur_tile, rh, y_origin, x_origin,
+            frame_height=frame_height, frame_width=frame_width,
+            blk_dim=blk_dim, span=r, metric=metric,
+            return_cost_volume=True,
+        )
+        return vol
+
+    replay_kw = dict(
+        blk_dim=blk_dim, metric=metric, early_term=early_term,
+        max_steps=max_steps, record_trajectory=record_trajectory,
+        frame_height=frame_height, frame_width=frame_width,
+    )
+
+    if metric == "ssim":
+        field, traj, _ = _diamond_replay(
+            level_volume(span), y_origin, x_origin, span=span, **replay_kw
+        )
+        out = (field.mv_y, field.mv_x, field.score)
+        return out + (traj,) if record_trajectory else out
+
+    levels = _staged_levels(span)
+
+    def run_level(r):
+        field, traj, esc = _diamond_replay(
+            level_volume(r), y_origin, x_origin, span=r,
+            track_escape=(r < span), **replay_kw,
+        )
+        if traj is None:
+            traj = jnp.zeros((0,), jnp.int32)  # uniform pytree for cond
+        return field, traj, esc
+
+    field, traj, esc = run_level(levels[0])
+    for r in levels[1:]:
+
+        def escalate(state, r=r):
+            field, traj, esc = state
+            f2, t2, e2 = run_level(r)
+            e = esc[..., None]
+            merged = MotionField(
+                jnp.where(esc, f2.mv_y, field.mv_y),
+                jnp.where(esc, f2.mv_x, field.mv_x),
+                jnp.where(esc, f2.best_cost_i32, field.best_cost_i32),
+                jnp.where(esc, f2.score, field.score),
+            )
+            if record_trajectory:
+                traj = jnp.where(e[None], t2, traj)
+            return merged, traj, esc & e2
+
+        field, traj, esc = lax.cond(
+            jnp.any(esc), escalate, lambda s: s, (field, traj, esc)
+        )
+    out = (field.mv_y, field.mv_x, field.best_cost_i32)
+    return out + (traj,) if record_trajectory else out
 
 
 @functools.partial(

@@ -158,3 +158,36 @@ def test_staged_equals_golden(shift):
     np.testing.assert_array_equal(np.asarray(f.mv_x), mvx)
     np.testing.assert_array_equal(np.asarray(f.best_cost_i32), best.astype(np.int64))
     np.testing.assert_array_equal(np.asarray(t), traj)
+
+
+@pytest.mark.parametrize(
+    "blk,span,metric,shift,hw",
+    [
+        (8, 7, "sad", (1, -2), (48, 64)),      # SAD staged, level 1 only
+        (8, 15, "sad", (6, 5), (48, 64)),      # SAD staged, escalation
+        (32, 12, "mse", (2, -1), (96, 128)),   # blk-32 staged (int32 fold)
+        (32, 12, "mse", (9, -8), (96, 128)),   # blk-32 staged, escalation
+        (32, 7, "sad", (1, 2), (100, 170)),    # blk-32 SAD + truncated edges
+    ],
+)
+def test_staged_sad_blk32_equals_golden(blk, span, metric, shift, hw):
+    """Round-4 extension: the staged fast path covers SAD and blk 32
+    (phase-kernel volumes; golden volume fallback off-TPU), trajectories
+    bit-exact vs diamond_search_np."""
+    h, w = hw
+    rng = np.random.default_rng(blk * span + h)
+    cur, ref = _pair(rng, h, w, *shift)
+    assert diamond.staged_supported(blk, span, metric)
+    f, t = diamond.diamond_search_frame(
+        cur, ref, blk_dim=blk, span=span, metric=metric,
+        record_trajectory=True, volume_mode="staged",
+    )
+    mvy, mvx, best, traj = diamond.diamond_search_np(
+        cur, ref, blk_dim=blk, span=span, metric=metric
+    )
+    np.testing.assert_array_equal(np.asarray(f.mv_y), mvy)
+    np.testing.assert_array_equal(np.asarray(f.mv_x), mvx)
+    np.testing.assert_array_equal(
+        np.asarray(f.best_cost_i32), best.astype(np.int64)
+    )
+    np.testing.assert_array_equal(np.asarray(t), traj)

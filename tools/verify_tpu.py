@@ -147,6 +147,119 @@ def main() -> int:
         failures += 0 if ok else 1
         extra += 1
 
+    # --- Round-4 closures (round-3 verdict item 5): staged-diamond
+    # trajectories and the Pallas cost-volume emission, whose exactness
+    # evidence was interpret-mode only, re-asserted on the real chip.
+    from motionestimation_tpu.kernels import full_search_pallas as kp
+    from motionestimation_tpu.search import diamond
+    from motionestimation_tpu.search import full_search as gfs
+
+    def check_diamond(name, cur, ref, blk, span, metric):
+        nonlocal failures, extra
+        field, traj = diamond.diamond_search_frame(
+            cur, ref, blk_dim=blk, span=span, metric=metric,
+            record_trajectory=True, volume_mode="staged",
+        )
+        o_mvy, o_mvx, o_cost, o_traj = diamond.diamond_search_np(
+            cur, ref, blk_dim=blk, span=span, metric=metric
+        )
+        ok = (
+            np.array_equal(np.asarray(traj), o_traj)
+            and np.array_equal(np.asarray(field.mv_y), o_mvy)
+            and np.array_equal(np.asarray(field.mv_x), o_mvx)
+            and np.array_equal(
+                np.asarray(field.best_cost_i32).astype(np.int64),
+                o_cost.astype(np.int64),
+            )
+        )
+        print(f"{'OK  ' if ok else 'FAIL'} {name} (staged diamond, "
+              f"{metric} blk {blk} span {span}, trajectories+MVs+costs)")
+        failures += 0 if ok else 1
+        extra += 1
+
+    fcur = _frame(REF_FRAMES, "ForemanYF4.yuv", 288, 352)
+    fref = _frame(REF_FRAMES, "ForemanYF1.yuv", 288, 352)
+    check_diamond("foreman_diamond_8_12", fcur, fref, 8, 12, "mse")
+    check_diamond("foreman_diamond_sad_16_15", fcur, fref, 16, 15, "sad")
+
+    # Random truncated-edge frame with a global shift large enough to
+    # force staged escalation past the first level (|shift|_inf > 4).
+    rng = np.random.default_rng(11)
+    h, w = 100, 170  # not multiples of 8/32: truncated edges
+    small = rng.integers(0, 256, (h // 8 + 2, w // 8 + 2)).astype(np.float64)
+    dref = np.clip(
+        np.kron(small, np.ones((8, 8)))[:h, :w] + rng.normal(0, 2, (h, w)),
+        0, 255,
+    ).astype(np.uint8)
+    dcur = np.clip(
+        np.roll(dref, (6, 5), (0, 1)).astype(np.int32)
+        + rng.integers(-2, 3, (h, w)),
+        0, 255,
+    ).astype(np.uint8)
+    check_diamond("rand_trunc_diamond_8_7_escalation", dcur, dref, 8, 7,
+                  "mse")
+    check_diamond("rand_trunc_diamond_32_12", dcur, dref, 32, 12, "mse")
+
+    # Pallas cost-volume emission == golden volume, on chip (the phase
+    # emit path never runs in interpret mode, so this is its only
+    # end-to-end exactness check).
+    def golden_volume(cur, ref, blk, span, metric):
+        cur_p = gfs.pad_cur_frame(cur, cur.shape[0], cur.shape[1], blk)
+        ref_halo = gfs.make_ref_halo(
+            ref, cur.shape[0], cur.shape[1], blk, span
+        )
+        _, vol = gfs.full_search_tile(
+            cur_p, ref_halo, 0, 0,
+            frame_height=cur.shape[0], frame_width=cur.shape[1],
+            blk_dim=blk, span=span, metric=metric,
+            return_cost_volume=True,
+        )
+        return np.asarray(vol)
+
+    for blk, span, metric in ((8, 12, "mse"), (16, 7, "sad"),
+                              (32, 5, "mse")):
+        vol = np.asarray(
+            kp.full_search_volume_pallas(
+                fcur, fref, blk_dim=blk, span=span, metric=metric
+            )
+        )
+        ok = np.array_equal(vol, golden_volume(fcur, fref, blk, span,
+                                               metric))
+        print(f"{'OK  ' if ok else 'FAIL'} volume_{metric}_{blk}_{span} "
+              f"(Pallas cost volume == golden, {vol.shape})")
+        failures += 0 if ok else 1
+        extra += 1
+
+    # Tile volume with non-zero traced origins (the sharded diamond's
+    # production volume source): bottom-right quadrant of Foreman.
+    import jax.numpy as jnp
+
+    blk, span = 8, 7
+    y0, x0 = 144, 176
+    th, tw = 288 - y0, 352 - x0
+    ref_halo = jnp.pad(jnp.asarray(fref, jnp.int32), span)[
+        y0 : y0 + th + 2 * span, x0 : x0 + tw + 2 * span
+    ]
+    tvol = np.asarray(
+        kp.full_search_volume_tile_pallas(
+            jnp.asarray(fcur[y0:, x0:], jnp.int32), ref_halo,
+            y0, x0,
+            frame_height=288, frame_width=352,
+            blk_dim=blk, span=span, metric="mse",
+        )
+    )
+    _, gvol = gfs.full_search_tile(
+        jnp.asarray(fcur[y0:, x0:], jnp.int32), ref_halo, y0, x0,
+        frame_height=288, frame_width=352,
+        blk_dim=blk, span=span, metric="mse",
+        return_cost_volume=True,
+    )
+    ok = np.array_equal(tvol, np.asarray(gvol))
+    print(f"{'OK  ' if ok else 'FAIL'} tile_volume_origin_{y0}_{x0} "
+          f"(Pallas tile volume, traced origins)")
+    failures += 0 if ok else 1
+    extra += 1
+
     total = len(cases) + extra
     print(f"{total - failures}/{total} cases bit-exact "
           f"on backend={backend}")
