@@ -200,6 +200,35 @@ def main():
     diamond_ms = float(np.median(ts) * 1e3)
     full_1080_ms = search_time(hh, ww, 16, 15)
 
+    # Adversarial worst case (round-3 verdict item 4): a global (14,-14)
+    # shift sends every block's trajectory past the staged escape radius,
+    # forcing the full escalation chain (levels 6 -> 15 at span 15).
+    # _staged_levels bounds this at <= 1.4x the full volume by
+    # construction; the measured row validates it on chip.
+    w_cur = np.clip(
+        np.roll(d_ref, (14, -14), (0, 1)).astype(np.int32)
+        + rng.integers(-2, 3, (hh, ww)),
+        0, 255,
+    ).astype(np.uint8)
+    w_curs = np.stack(
+        [
+            np.clip(
+                w_cur.astype(np.int32) + rng.integers(-1, 2, (hh, ww)),
+                0, 255,
+            ).astype(np.uint8)
+            for _ in range(BATCH)
+        ]
+    )
+    wc = jax.device_put(jnp.asarray(w_curs))
+    jax.block_until_ready(wc)
+    int(run_diamond(wc, dr))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        int(run_diamond(wc, dr))
+        ts.append((time.perf_counter() - t0) / BATCH)
+    diamond_worst_ms = float(np.median(ts) * 1e3)
+
     # --- End-to-end pipelined GOP fps at 4K (run_gop steady state).
     # Steady state ships ONE new 8.29 MB frame per pair over the host
     # link (consecutive pairs share a frame; device arrays are cached),
@@ -333,6 +362,10 @@ def main():
                 "north_star_search_fps_1080p": round(1e3 / ns_1080, 2),
                 "diamond_1080p_ms": round(diamond_ms, 3),
                 "full_search_1080p_ms": round(full_1080_ms, 3),
+                "diamond_worstcase_1080p_ms": round(diamond_worst_ms, 3),
+                "diamond_worst_vs_full": round(
+                    diamond_worst_ms / full_1080_ms, 2
+                ),
                 "blk32_span31_4k_ms": round(blk32_4k, 3),
             }
         )

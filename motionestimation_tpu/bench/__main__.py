@@ -74,6 +74,13 @@ def load_sequence(name: str):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="motionestimation_tpu.bench")
     p.add_argument("-v", "--version", type=int, required=True)
+    p.add_argument(
+        "--matrix", action="store_true",
+        help="record the full sync-amortized kernel matrix (incl. "
+        "diamond SAD/blk-32, worst-case, and GOP rows) as "
+        "results/tpu/v{N}.txt with tag-wise epsilon comparison "
+        "(bench/matrix.py) instead of the per-sequence fenced rows",
+    )
     p.add_argument("-b", "--blk-dim", type=int, default=8)
     p.add_argument("-s", "--span", type=int, default=12)
     p.add_argument(
@@ -101,6 +108,15 @@ def main(argv=None) -> int:
 
     from motionestimation_tpu.core.jax_setup import setup_jax
     setup_jax()
+
+    if args.matrix:
+        from motionestimation_tpu.bench.matrix import run_matrix
+
+        return run_matrix(
+            args.version,
+            args.results_dir if args.results_dir != "results"
+            else os.path.join("results", "tpu"),
+        )
 
     rows = []
     for name in args.sequences:

@@ -703,13 +703,16 @@ def diamond_search_frame(
       "auto" / "staged" — adaptive staged volumes (MSE/SAD at blk 4-32,
         `staged_supported`; falls back to "lazy" otherwise — SSIM stays
         lazy): compute a radius-capped Pallas
-        cost volume (levels 4, 8, 16, ..., span), replay over it, and
+        cost volume (radii from `_staged_levels`, e.g. 6 then span),
+        replay over it, and
         escalate — under `lax.cond`, so skipped levels cost nothing —
         only when some block's trajectory could leave the cap. Typical
-        content stays at the first level (81 candidate planes at fused-
+        content stays at the first level (169 candidate planes at fused-
         kernel efficiency vs (2s+1)² for full search), which is what
         makes diamond *cheaper* than full search; worst case (every
-        block travels far) is bounded by ~1.4x the full volume.
+        block travels far) is bounded <= 1.4x the full volume BY
+        CONSTRUCTION of the level set (see `_staged_levels`; validated
+        on chip, results/tpu/v8.txt diamond-worstcase rows).
       "lazy" — evaluate only diamond-reachable candidate planes round by
         round with the golden XLA evaluator; works for every metric and
         block size, no Pallas dependency.
@@ -798,16 +801,31 @@ def staged_supported(blk_dim: int, span: int, metric: str) -> bool:
 
 
 def _staged_levels(span: int) -> tuple[int, ...]:
-    """Volume radii to try in order: 6, 12, 24, ... capped at span.
+    """Volume radii to try in order: a subset of {6, 12, 24, ...} plus
+    the full span.
+
+    The worst case (content escalating through EVERY level) computes the
+    sum of all level volumes, so levels are chosen to BOUND it: a
+    candidate level r is kept iff planes(r) = (2r+1)² is at most
+    0.3 * planes(span). Kept levels double in radius, i.e. roughly
+    quadruple in planes, so the kept sum is <= 0.3 * (1 + 1/4 + 1/16 +
+    ...) = 0.4 * planes(span) — the staged worst case is <= 1.4x the
+    full volume BY CONSTRUCTION (validated on chip:
+    results/tpu/v8.txt diamond-worstcase rows). Consequences: span 12
+    -> (6, 12); span 15 -> (6, 15) (the former intermediate 12 cost
+    more than it could save); span <= ~10 -> (span,) alone (staging
+    cannot save enough to risk the escalation).
 
     6 (escape only past Chebyshev radius 4) keeps ordinary slow-motion
     content — including blocks that overshoot the true MV by a few
     steps — at the first level; starting lower was measured to escalate
     whole frames on a handful of |c|=3 stragglers."""
+    full = (2 * span + 1) ** 2
     levels = []
     r = 6
     while r < span:
-        levels.append(r)
+        if (2 * r + 1) ** 2 <= 0.3 * full:
+            levels.append(r)
         r *= 2
     levels.append(span)
     return tuple(levels)

@@ -1,5 +1,12 @@
 """Record results/tpu/v6.txt: sync-amortized kernel times, full matrix.
 
+SUPERSEDED (round 4): the matrix now records through the package
+harness — `python -m motionestimation_tpu.bench --matrix -v N`
+(motionestimation_tpu/bench/matrix.py), which carries the v6/v7 rows
+plus the diamond SAD/blk-32, worst-case, SSIM-lazy, and GOP rows with
+tag-wise epsilon comparison. This tool is kept for the provenance of
+the committed v6/v7 files only.
+
 The v1-v5 rows use the reference's 4-phase fenced methodology
 (main_mse.cu:255); on this host every fence costs a ~20-30 ms tunnel
 round trip, which swamps sub-100-ms kernels (a CIF search reads ~30 ms
