@@ -313,6 +313,7 @@ def sharded_full_search(
     span: int,
     metric: str = "mse",
     backend: str = "auto",
+    algorithm: str = "full",
 ):
     """Single frame-pair convenience wrapper (batch of 1) returning a
     MotionField on the block grid plus the compensated frame, both global
@@ -322,7 +323,7 @@ def sharded_full_search(
         cur[None], ref[None],
         mesh=mesh, blk_dim=blk_dim, span=span, metric=metric,
         frame_height=frame_height, frame_width=frame_width,
-        backend=backend,
+        backend=backend, algorithm=algorithm,
     )
     nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
     mv_y = res.mv_y[0, :nby, :nbx]

@@ -3,6 +3,7 @@ identical results, and the prefetcher preserves order."""
 import os
 
 import numpy as np
+import pytest
 
 from motionestimation_tpu.parallel import make_mesh
 from motionestimation_tpu.parallel import ingest
@@ -189,3 +190,51 @@ def test_run_gop_chunked_resume_holes_and_stats(tmp_path):
     np.testing.assert_array_equal(d["mv_y"], golden[2]["mv_y"])
     np.testing.assert_array_equal(d["best_cost"], golden[2]["best_cost"])
     assert float(d["psnr"]) == float(golden[2]["psnr"])
+
+
+@pytest.mark.parametrize(
+    "blk,span,metric",
+    [
+        (32, 5, "mse"),   # cost*K^2 overflows uint32 -> unpacked readback
+        (8, 5, "ssim"),   # float scores -> unpacked readback
+    ],
+)
+def test_run_gop_unpacked_readback(tmp_path, blk, span, metric):
+    """Configs where the uint32 cost+MV packing doesn't apply ship the
+    (mv, cost) pair readback; dumps still match run_pair exactly."""
+    from motionestimation_tpu.core import frames as frames_lib
+    from motionestimation_tpu.core.config import SearchConfig
+    from motionestimation_tpu.pipeline import runner
+
+    assert runner._gop_pack_kk(
+        SearchConfig(blk_dim=blk, span=span, metric=metric,
+                     frame_width=64, frame_height=64)
+    ) is None
+    rng = np.random.default_rng(blk + span)
+    h, w = 64, 64
+    ref = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    cur = np.clip(
+        np.roll(ref, (2, -1), (0, 1)).astype(np.int32)
+        + rng.integers(-2, 3, (h, w)),
+        0, 255,
+    ).astype(np.uint8)
+    p0, p1 = tmp_path / "a.yuv", tmp_path / "b.yuv"
+    frames_lib.save_yuv(p0, ref)
+    frames_lib.save_yuv(p1, cur)
+    config = SearchConfig(
+        blk_dim=blk, span=span, metric=metric,
+        frame_width=w, frame_height=h,
+    )
+    out = runner.run_gop(
+        [p0, p1], config, output_dir=tmp_path / "out", backend="xla",
+        chunk_pairs=2,
+    )
+    d = np.load(out[0])
+    pair = runner.run_pair(cur, ref, config, backend="xla")
+    np.testing.assert_array_equal(d["mv_y"], pair.field.mv_y)
+    np.testing.assert_array_equal(d["mv_x"], pair.field.mv_x)
+    if metric != "ssim":
+        np.testing.assert_array_equal(
+            d["best_cost"], pair.field.best_cost_i32
+        )
+    assert float(d["psnr"]) == pair.psnr

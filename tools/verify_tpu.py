@@ -28,6 +28,14 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURES = os.path.join(REPO, "tests", "fixtures")
 REF_FRAMES = "/root/reference/frames"
+# TPU f32 division/rsqrt are not IEEE-correctly-rounded; the resulting
+# SSIM score drift vs the numpy oracle is a few ULP for textured blocks
+# but amplifies through the variance cancellation on low-variance
+# (flat) blocks — measured max |drift| 6.9e-6 (165 ULP) across
+# all fixtures, MVs exact everywhere. A real kernel defect (wrong sums,
+# misaligned block) shifts scores by O(0.1); the tolerance sits three
+# orders of magnitude below that and one above the observed drift.
+SSIM_SCORE_ATOL = 1e-4
 
 
 def _frame(case_dir: str, name: str, h: int, w: int) -> np.ndarray:
@@ -72,11 +80,26 @@ def main() -> int:
                 cur, ref, blk_dim=blk, span=span, interpret=False
             )
             o_mvy, o_mvx, o_score = rm.full_search_ssim(cur, ref, blk, span)
+            # MVs must be exact. Scores compare within SSIM_SCORE_ATOL:
+            # TPU f32 division/rsqrt round differently from IEEE/numpy,
+            # amplified by variance cancellation on flat blocks
+            # (PARITY.md deviation 6). Interpret mode (the pytest
+            # suite) stays bit-exact.
+            s = np.asarray(field.score)
+            ulp = np.abs(
+                s.view(np.int32).astype(np.int64)
+                - o_score.view(np.int32).astype(np.int64)
+            ).max()
+            adiff = float(
+                np.abs(s.astype(np.float64) - o_score.astype(np.float64))
+                .max()
+            )
             ok = (
                 np.array_equal(np.asarray(field.mv_y), o_mvy)
                 and np.array_equal(np.asarray(field.mv_x), o_mvx)
-                and np.array_equal(np.asarray(field.score), o_score)
+                and adiff <= SSIM_SCORE_ATOL
             )
+            print(f"     (ssim score drift: max {adiff:.2e}, {ulp} ULP)")
         else:
             field = full_search_frame_pallas(
                 cur, ref, blk_dim=blk, span=span, metric=metric,
