@@ -203,8 +203,12 @@ def main():
     # Adversarial worst case (round-3 verdict item 4): a global (14,-14)
     # shift sends every block's trajectory past the staged escape radius,
     # forcing the full escalation chain (levels 6 -> 15 at span 15).
-    # _staged_levels bounds this at <= 1.4x the full volume by
-    # construction; the measured row validates it on chip.
+    # NOTE the ratio below divides by the FUSED full search (what a user
+    # would run instead), ~4x: adversarial content is where full search
+    # wins, by design. The _staged_levels <= 1.4x bound is against the
+    # full-VOLUME diamond replay and is validated by the
+    # diamond-worstcase / diamond-fullvol row pair in results/tpu/v8.txt
+    # (measured 1.14x at 1080p, 1.18x at 4K).
     w_cur = np.clip(
         np.roll(d_ref, (14, -14), (0, 1)).astype(np.int32)
         + rng.integers(-2, 3, (hh, ww)),
@@ -363,7 +367,7 @@ def main():
                 "diamond_1080p_ms": round(diamond_ms, 3),
                 "full_search_1080p_ms": round(full_1080_ms, 3),
                 "diamond_worstcase_1080p_ms": round(diamond_worst_ms, 3),
-                "diamond_worst_vs_full": round(
+                "diamond_worst_vs_full_search": round(
                     diamond_worst_ms / full_1080_ms, 2
                 ),
                 "blk32_span31_4k_ms": round(blk32_4k, 3),

@@ -161,9 +161,20 @@ def model_step(
     # spans hosts along that axis; the worst (host-boundary) chip pays
     # DCN for the crossing direction of each spanning axis, ICI for the
     # other direction and for non-spanning axes. The worst chip's time
-    # is the step time.
-    hosts_ty = cdiv(ty, HOST_TY)
-    hosts_tx = cdiv(tx, HOST_TX)
+    # is the step time. The board can be mounted in either orientation
+    # (a (4,2) logical mesh fits one 2x4 board as well as (2,4) does),
+    # so take the orientation minimizing hosts, then crossing axes — a
+    # deployment would map the mesh onto boards that way.
+    if n_chips <= CHIPS_PER_HOST:
+        # Any mesh of <= 8 chips embeds in one board's 2x4 torus (a
+        # 1x8 ring included) — never charged DCN.
+        hosts_ty, hosts_tx = 1, 1
+    else:
+        hosts_ty, hosts_tx = min(
+            (cdiv(ty, HOST_TY), cdiv(tx, HOST_TX)),
+            (cdiv(ty, HOST_TX), cdiv(tx, HOST_TY)),
+            key=lambda o: (o[0] * o[1], (o[0] > 1) + (o[1] > 1)),
+        )
     crosses_hosts = hosts_ty * hosts_tx > 1
     ici_bytes = dcn_bytes = 0
     ici_hops = dcn_hops = 0

@@ -166,40 +166,6 @@ def _pair_step_fn(config: SearchConfig, backend: str):
     return step
 
 
-@functools.lru_cache(maxsize=64)
-def _gop_step_fn(config: SearchConfig, backend: str):
-    """Transfer-minimal GOP device program: search + compensate + PSNR
-    statistics on device; ships back only the packed MV field, the cost
-    grid, and three stat scalars (~0.8 MB at 4K blk 8 instead of the
-    8.3 MB compensated frame — the reference tunnel moves ~40 MB/s, so
-    the round-1 comp readback was the whole d2h pathology).
-    """
-    h, w = config.frame_height, config.frame_width
-    base = _search_fn(config, backend)
-
-    @jax.jit
-    def step(cur, ref):
-        field, comp, _ = base(cur, ref)
-        comp = comp.astype(jnp.int32)
-        cur_i = cur.astype(jnp.int32)
-        # Exact Σerr² as int32 hi/lo halves (see parallel/sharded.py).
-        err = comp - cur_i
-        row = jnp.sum(err * err, axis=1, dtype=jnp.int32)
-        sq_hi = jnp.sum(row >> 15, dtype=jnp.int32)
-        sq_lo = jnp.sum(row & 0x7FFF, dtype=jnp.int32)
-        fmax = jnp.max(jnp.maximum(comp, cur_i))
-        # |mv| <= span: int8 when it fits (4x less readback).
-        mv_dtype = jnp.int8 if config.span <= 127 else jnp.int32
-        mv = jnp.stack([field.mv_y, field.mv_x]).astype(mv_dtype)
-        cost = (
-            field.score if config.metric == "ssim"
-            else field.best_cost_i32
-        )
-        return mv, cost, sq_hi, sq_lo, fmax
-
-    return step
-
-
 def run_pair(
     cur: np.ndarray,
     ref: np.ndarray,
@@ -520,6 +486,8 @@ def run_gop(
             item = work.get()
             if item is None:
                 return
+            if writer_err:
+                continue  # drain mode: keep consuming so puts never block
             idxs, outs = item
             try:
                 t0 = time.perf_counter()
@@ -528,7 +496,6 @@ def run_gop(
                 dump_chunk(idxs, nps)
             except BaseException as e:  # noqa: BLE001 — re-raised in main
                 writer_err.append(e)
-                return
 
     wt = threading.Thread(target=writer, name="gop-writer", daemon=True)
     wt.start()
@@ -565,11 +532,12 @@ def run_gop(
         cancel.set()
         read_window.release()  # unblock a reader stuck on an error path
         rt.join()
+        staged.clear()  # drop boundary frames runs left pinned in HBM
+        stats["wall_s"] = time.perf_counter() - t_wall
+        if stats_out is not None:
+            stats_out.update(stats)
     if writer_err:
         raise writer_err[0]
-    stats["wall_s"] = time.perf_counter() - t_wall
-    if stats_out is not None:
-        stats_out.update(stats)
     return out
 
 

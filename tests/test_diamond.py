@@ -191,3 +191,27 @@ def test_staged_sad_blk32_equals_golden(blk, span, metric, shift, hw):
         np.asarray(f.best_cost_i32), best.astype(np.int64)
     )
     np.testing.assert_array_equal(np.asarray(t), traj)
+
+
+@pytest.mark.parametrize("metric,early", [("mse", 40.0), ("sad", 4.0)])
+def test_staged_early_term_with_escalation(metric, early):
+    """Early termination interacts with multi-level staged escalation:
+    per-pixel thresholds divide by the truncated block areas, and
+    early-terminated blocks must freeze identically whether or not the
+    frame escalates past level 1 (span 15 -> levels (6, 15))."""
+    rng = np.random.default_rng(99)
+    h, w = 52, 68  # truncated edge blocks at blk 8
+    cur, ref = _pair(rng, h, w, 6, 5)  # forces escalation
+    f, t = diamond.diamond_search_frame(
+        cur, ref, blk_dim=8, span=15, metric=metric, early_term=early,
+        record_trajectory=True, volume_mode="staged",
+    )
+    mvy, mvx, best, traj = diamond.diamond_search_np(
+        cur, ref, blk_dim=8, span=15, metric=metric, early_term=early
+    )
+    np.testing.assert_array_equal(np.asarray(f.mv_y), mvy)
+    np.testing.assert_array_equal(np.asarray(f.mv_x), mvx)
+    np.testing.assert_array_equal(
+        np.asarray(f.best_cost_i32), best.astype(np.int64)
+    )
+    np.testing.assert_array_equal(np.asarray(t), traj)

@@ -238,3 +238,37 @@ def test_run_gop_unpacked_readback(tmp_path, blk, span, metric):
             d["best_cost"], pair.field.best_cost_i32
         )
     assert float(d["psnr"]) == pair.psnr
+
+
+def test_run_gop_writer_error_raises_not_hangs(tmp_path, monkeypatch):
+    """A writer-side failure (e.g. disk full during np.savez) must
+    propagate promptly — the bounded work queue previously deadlocked
+    the dispatch loop once the writer died (round-4 review)."""
+    from motionestimation_tpu.core import frames as frames_lib
+    from motionestimation_tpu.core.config import SearchConfig
+    from motionestimation_tpu.pipeline import runner
+
+    rng = np.random.default_rng(3)
+    h, w = 32, 32
+    paths = []
+    for i in range(14):  # 13 pairs at chunk_pairs=1 >> queue depth 4
+        p = tmp_path / f"f{i}.yuv"
+        frames_lib.save_yuv(
+            p, rng.integers(0, 256, (h, w), dtype=np.uint8)
+        )
+        paths.append(p)
+    config = SearchConfig(
+        blk_dim=8, span=2, frame_width=w, frame_height=h
+    )
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(np, "savez", boom)
+    stats: dict = {}
+    with pytest.raises(OSError, match="disk full"):
+        runner.run_gop(
+            paths, config, output_dir=tmp_path / "out", backend="xla",
+            chunk_pairs=1, stats_out=stats,
+        )
+    assert stats["wall_s"] > 0  # stats filled even on the error path

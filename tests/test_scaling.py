@@ -155,3 +155,15 @@ def test_spatial_16_chip_efficiency_target():
         meshes=[(4, 4)], measured_mblocks_per_s=14.41,
     )
     assert s[16] >= 0.90
+
+
+def test_host_orientation_agnostic():
+    """(4,2) and (2,4) 8-chip meshes both fit one 2x4 host board: the
+    model must not charge DCN for the transposed orientation (round-4
+    review)."""
+    for ty, tx in ((2, 4), (4, 2), (1, 8), (8, 1)):
+        m = scaling.model_step(
+            frame_height=2160, frame_width=3840, blk_dim=8, span=12,
+            ty=ty, tx=tx, measured_mblocks_per_s=14.41,
+        )
+        assert not m.crosses_hosts, (ty, tx)
