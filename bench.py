@@ -294,19 +294,28 @@ def main():
         # warmup: compile the chunk program + prime the transfer path
         # (a 2-frame GOP pads to the same 8-pair program shape).
         runner.run_gop(paths[:2], config, output_dir=outdir, resume=False)
-        # Pre-run probe pass, taken immediately before the timed run so
+        # Pre-run probe pass, taken immediately before the timed runs so
         # the bracketing window is as tight as the drift allows.
         rates_pre = [
             n_probe * (H * W / 1e6) / probe_pass(refs[4 : 4 + n_probe])
         ]
+        # Best of 2 timed GOP runs — the same one-sided-noise philosophy
+        # as the link bound (best probe pass) and the kernel rows
+        # (best-of-3): the link's drift is the dominant noise and only
+        # ever slows a run down, so best-vs-best is the consistent
+        # comparison.
         gop_stats: dict = {}
-        t0 = time.perf_counter()
-        runner.run_gop(
-            paths, config, output_dir=outdir, resume=False,
-            stats_out=gop_stats,
-        )
-        gop_s = time.perf_counter() - t0
-        gop_fps = (GOP_FRAMES - 1) / gop_s
+        gop_fps = 0.0
+        for _ in range(2):
+            run_stats: dict = {}
+            t0 = time.perf_counter()
+            runner.run_gop(
+                paths, config, output_dir=outdir, resume=False,
+                stats_out=run_stats,
+            )
+            fps = (GOP_FRAMES - 1) / (time.perf_counter() - t0)
+            if fps > gop_fps:
+                gop_fps, gop_stats = fps, run_stats
 
     # Post-run probe pass (fresh frames so every put really transfers).
     post_frames = rng.integers(0, 256, (n_probe, H, W), dtype=np.uint8)
@@ -318,7 +327,9 @@ def main():
     # "run was link-bound" evidence.
     nby, nbx = (H + BLK - 1) // BLK, (W + BLK - 1) // BLK
     gop_bytes = GOP_FRAMES * H * W + (GOP_FRAMES - 1) * nby * nbx * 4
-    eff_link_mb_s = gop_bytes / 1e6 / max(gop_stats.get("wall_s", gop_s), 1e-9)
+    eff_link_mb_s = gop_bytes / 1e6 / max(
+        gop_stats.get("wall_s", (GOP_FRAMES - 1) / gop_fps), 1e-9
+    )
 
     print(
         json.dumps(

@@ -218,6 +218,7 @@ def _kernel_ssim_fast(
     cur_ref,          # [TH, W] f32, VMEM stripe
     score_out,        # [nby_t, W] f32 block of [Hp2/b, W]
     idx_out,          # [nby_t, W] int32 block
+    vol_hbm,          # [S, K+1, K*nby_t, W] f32, HBM (emit_volume; else tiny)
     win_ref,          # [halo_rows, halo_w] f32 scratch (rolled per dy)
     s1_ref,           # [halo_rows, halo_w] f32 scratch: b×b box sums of ref
     s2_ref,           # [halo_rows, halo_w] f32 scratch: box sums of ref²
@@ -229,7 +230,9 @@ def _kernel_ssim_fast(
     bs_ref,           # [nby_t, W] f32 scratch (best score)
     bi_ref,           # [nby_t, W] int32 scratch (best flat index)
     p_ref,            # [TH, 2*chunk*W] f32 scratch (product staging)
+    vbuf_ref,         # [K*nby_t, W] f32 scratch (emit_volume only)
     in_sem,
+    vol_sems,         # DMA sem (emit_volume only)
     *,
     blk_dim: int,
     span: int,
@@ -238,6 +241,7 @@ def _kernel_ssim_fast(
     frame_height: int,
     frame_width: int,
     chunk: int,
+    emit_volume: bool = False,
 ):
     """Fast SSIM search for interior (untruncated) blocks, blk_dim <= 16.
 
@@ -313,12 +317,35 @@ def _kernel_ssim_fast(
             cross.astype(jnp.int32),
             count,
         )
-        cand = jnp.where(ok_y & ok_x, score, -jnp.inf)
+        # lax.select (the raw primitive), not jnp.where: jnp.where's
+        # jit-wrapped subcall inside an effects-carrying loop body (the
+        # volume DMAs) trips the interpret-mode lowering cache.
+        ok = jnp.broadcast_to(ok_y & ok_x, score.shape)
+        cand = lax.select(
+            ok, score, jnp.full(score.shape, -jnp.inf, jnp.float32)
+        )
+        if emit_volume:
+            vbuf_ref[j * nby_t : (j + 1) * nby_t, :] = cand
         take = cand > bs_ref[:]  # strict > == first-raster-wins
-        bs_ref[:] = jnp.where(take, cand, bs_ref[:])
-        bi_ref[:] = jnp.where(take, i * k + j, bi_ref[:])
+        bs_ref[:] = lax.select(take, cand, bs_ref[:])
+        bi_ref[:] = lax.select(
+            take, jnp.full(bi_ref.shape, i * k + j, jnp.int32), bi_ref[:]
+        )
+
+    if emit_volume:
+        # Prime the single-buffer pipeline with a dummy DMA to the dump
+        # row (vol_hbm dy slot k) so every dy iteration's wait is
+        # unconditional (same scheme as the MSE phase kernel's emit).
+        pltpu.make_async_copy(
+            vbuf_ref, vol_hbm.at[pl.program_id(0), k], vol_sems
+        ).start()
 
     def dy_body(i, _):
+        if emit_volume:
+            # Wait for the DMA issued last dy before overwriting vbuf.
+            pltpu.make_async_copy(
+                vbuf_ref, vol_hbm.at[pl.program_id(0), k], vol_sems
+            ).wait()
         row_ref[:] = win_ref[0:tile_h, :]
         s1row_ref[:] = jax.lax.dot(
             sel_pick, s1_ref[0:tile_h, :], precision=lax.Precision.HIGHEST
@@ -352,12 +379,22 @@ def _kernel_ssim_fast(
                 )
                 s1row_ref[:] = pltpu.roll(s1row_ref[:], halo_w - 1, 1)
                 s2row_ref[:] = pltpu.roll(s2row_ref[:], halo_w - 1, 1)
+        if emit_volume:
+            # Stream this dy's [K*nby_t, W] score slab (sentinel -inf at
+            # invalid candidates); overlaps the next dy's chain compute.
+            pltpu.make_async_copy(
+                vbuf_ref, vol_hbm.at[pl.program_id(0), i], vol_sems
+            ).start()
         win_ref[:] = pltpu.roll(win_ref[:], halo_rows - 1, 0)
         s1_ref[:] = pltpu.roll(s1_ref[:], halo_rows - 1, 0)
         s2_ref[:] = pltpu.roll(s2_ref[:], halo_rows - 1, 0)
         return 0
 
     lax.fori_loop(0, k, dy_body, 0)
+    if emit_volume:
+        pltpu.make_async_copy(
+            vbuf_ref, vol_hbm.at[pl.program_id(0), k - 1], vol_sems
+        ).wait()
     score_out[:] = bs_ref[:]
     idx_out[:] = bi_ref[:]
 
@@ -366,7 +403,7 @@ def _kernel_ssim_fast(
     jax.jit,
     static_argnames=(
         "blk_dim", "span", "frame_height", "frame_width",
-        "tile_h", "chunk", "interpret",
+        "tile_h", "chunk", "interpret", "emit_volume",
     ),
 )
 def _run_ssim_fast(
@@ -381,9 +418,12 @@ def _run_ssim_fast(
     tile_h: int,
     chunk: int,
     interpret: bool,
+    emit_volume: bool = False,
 ):
     """Fast SSIM search over a padded f32 panel (interior blocks).
-    Returns block-grid (score, idx).
+    Returns block-grid (score, idx) — plus, with `emit_volume`, the full
+    per-candidate float32 score volume [K², hp2//blk, wp2] (sentinel
+    -inf at invalid candidates), streamed from the kernel per dy.
 
     origins: int32 [2] = (y_origin, x_origin) of the panel's top-left in
     global frame coordinates — a *traced* value (SMEM scalar input), so
@@ -392,15 +432,24 @@ def _run_ssim_fast(
     nby_t = tile_h // blk_dim
     halo_rows = _round_up(tile_h + 2 * span, 8)
     halo_w = ref_padded.shape[1]
+    k = 2 * span + 1
     kernel = functools.partial(
         _kernel_ssim_fast,
         blk_dim=blk_dim, span=span, tile_h=tile_h, tile_w=wp2,
         frame_height=frame_height, frame_width=frame_width,
-        chunk=chunk,
+        chunk=chunk, emit_volume=emit_volume,
     )
-    score_px, idx_px = pl.pallas_call(
+    n_stripes = hp2 // tile_h
+    # Volume layout (stripe, dy, dx*nby_t + R, lane): one DMA per dy
+    # lands the dx-major slab contiguously; row k of the dy axis is the
+    # dump slot for the pipeline-priming DMA.
+    vol_shape = (
+        (n_stripes, k + 1, k * nby_t, wp2) if emit_volume
+        else (1, 1, 8, 128)
+    )
+    score_px, idx_px, vol = pl.pallas_call(
         kernel,
-        grid=(hp2 // tile_h,),
+        grid=(n_stripes,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -412,10 +461,12 @@ def _run_ssim_fast(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nby_t, wp2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.float32),
             jax.ShapeDtypeStruct((hp2 // blk_dim, wp2), jnp.int32),
+            jax.ShapeDtypeStruct(vol_shape, jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((halo_rows, halo_w), jnp.float32),
@@ -429,10 +480,24 @@ def _run_ssim_fast(
             pltpu.VMEM((nby_t, wp2), jnp.float32),
             pltpu.VMEM((nby_t, wp2), jnp.int32),
             pltpu.VMEM((tile_h, 2 * chunk * wp2), jnp.float32),
+            pltpu.VMEM(
+                (k * nby_t, wp2) if emit_volume else (8, 128),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(origins.astype(jnp.int32), ref_padded, cur_padded)
+    if emit_volume:
+        # [S, dy, dx, R(nby_t), W] -> [dy*k + dx, S*nby_t + R, W]
+        volume = (
+            vol[:, :k]
+            .reshape(n_stripes, k, k, nby_t, wp2)
+            .transpose(1, 2, 0, 3, 4)
+            .reshape(k * k, n_stripes * nby_t, wp2)
+        )
+        return score_px[:, ::blk_dim], idx_px[:, ::blk_dim], volume
     return score_px[:, ::blk_dim], idx_px[:, ::blk_dim]
 
 
@@ -557,6 +622,122 @@ def ssim_supported(blk_dim: int, span: int) -> bool:
     requirement): hoisted box-sum pyramids assume full blk×blk blocks and
     the stripe grid needs blk_dim <= 16."""
     return blk_dim <= 16 and span >= 1
+
+
+def ssim_volume_pallas(
+    cur,
+    ref,
+    *,
+    blk_dim: int,
+    span: int,
+    interpret: bool | None = None,
+):
+    """Full [K², nby, nbx] float32 SSIM score volume.
+
+    The SSIM analogue of
+    `full_search_pallas.full_search_volume_pallas`: per-dy score-slab
+    streaming from the fast kernel on TPU (consumed by the staged
+    diamond, search/diamond.py), the golden XLA volume off-TPU
+    (bit-identical by construction; the emit loop's DMA effects cannot
+    lower in interpret mode). Invalid displacements hold -inf; truncated
+    edge blocks are recomputed with the golden tile on thin slabs.
+    Scores are bit-exact vs `full_search_tile(metric="ssim",
+    return_cost_volume=True)` in interpret/CPU mode; on real hardware
+    they carry the documented few-ULP TPU float drift (PARITY.md
+    deviation 6).
+    """
+    if not ssim_supported(blk_dim, span):
+        raise ValueError(
+            f"ssim_volume_pallas requires blk_dim <= 16 and span >= 1, "
+            f"got blk_dim={blk_dim} span={span}"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _ssim_volume_jit(
+        cur, ref, blk_dim=blk_dim, span=span, interpret=interpret
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blk_dim", "span", "interpret")
+)
+def _ssim_volume_jit(cur, ref, *, blk_dim, span, interpret):
+    frame_height, frame_width = cur.shape
+    hp, wp = geometry.padded_dims(frame_height, frame_width, blk_dim)
+    nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
+    k = 2 * span + 1
+
+    def golden_volume(cur_t, ref_halo, y0, x0):
+        _, vol = fs.full_search_tile(
+            cur_t, ref_halo, y0, x0,
+            frame_height=frame_height, frame_width=frame_width,
+            blk_dim=blk_dim, span=span, metric="ssim",
+            return_cost_volume=True,
+        )
+        return vol
+
+    if interpret:
+        cur_p = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
+        ref_halo = fs.make_ref_halo(
+            ref, frame_height, frame_width, blk_dim, span
+        )
+        return golden_volume(cur_p, ref_halo, 0, 0)
+
+    tile_h = 8 * blk_dim
+    hp2 = _round_up(hp, tile_h)
+    halo_row_pad = _round_up(2 * span, 8)
+    # Narrow panels: the emit path adds a [K*nby_t, W] vbuf on top of
+    # the fast kernel's scratches, so the 2048-lane panels of the
+    # search path would overrun the ~16 MB scoped-VMEM budget.
+    panels = []
+    for x0, pw in _panel_widths(wp, blk_dim, 1024):
+        halo_w = _round_up(pw + 2 * span, 128)
+        cur_p = _pad_slab(
+            cur, row_range=(0, frame_height), col_range=(x0, x0 + pw),
+            out_rows=hp2, out_cols=pw, offset_r=0, offset_c=0,
+            dtype=jnp.float32,
+        )
+        ref_p = _pad_slab(
+            ref,
+            row_range=(-span, hp2 + halo_row_pad - span),
+            col_range=(x0 - span, x0 - span + halo_w),
+            out_rows=hp2 + halo_row_pad, out_cols=halo_w,
+            offset_r=0, offset_c=0, dtype=jnp.float32,
+        )
+        _, _, vol = _run_ssim_fast(
+            cur_p, ref_p, jnp.array([0, x0], jnp.int32),
+            blk_dim=blk_dim, span=span,
+            frame_height=frame_height, frame_width=frame_width,
+            tile_h=tile_h, chunk=4, interpret=interpret,
+            emit_volume=True,
+        )
+        panels.append(vol[:, :nby, ::blk_dim][:, :, : pw // blk_dim])
+    volume = jnp.concatenate(panels, axis=2)[:, :, :nbx]
+
+    # Truncated edge blocks: the fast kernel's uniform-box count is
+    # wrong there; golden-tile volumes on thin slabs.
+    if frame_height % blk_dim or frame_width % blk_dim:
+        cur_pad = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
+        ref_halo = fs.make_ref_halo(
+            ref, frame_height, frame_width, blk_dim, span
+        )
+        if frame_height % blk_dim:
+            y_org = (nby - 1) * blk_dim
+            v = golden_volume(
+                cur_pad[y_org : y_org + blk_dim, :],
+                ref_halo[y_org : y_org + blk_dim + 2 * span, :],
+                y_org, 0,
+            )
+            volume = volume.at[:, nby - 1, :].set(v[:, 0, :])
+        if frame_width % blk_dim:
+            x_org = (nbx - 1) * blk_dim
+            v = golden_volume(
+                cur_pad[:, x_org : x_org + blk_dim],
+                ref_halo[:, x_org : x_org + blk_dim + 2 * span],
+                0, x_org,
+            )
+            volume = volume.at[:, :, nbx - 1].set(v[:, :, 0])
+    return volume
 
 
 def ssim_search_tile_pallas(

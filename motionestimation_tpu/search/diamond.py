@@ -737,7 +737,12 @@ def diamond_search_frame(
     if max_steps is None:
         max_steps = default_max_steps(span)
     if volume_mode in ("auto", "staged"):
-        if staged_supported(blk_dim, span, metric):
+        use_staged = staged_supported(blk_dim, span, metric)
+        if metric == "ssim" and volume_mode == "auto":
+            # Off-TPU the SSIM volume source is the golden full-plane
+            # scan — strictly more work than lazy's reachable planes.
+            use_staged = use_staged and jax.default_backend() == "tpu"
+        if use_staged:
             field, traj = _diamond_staged(
                 cur, ref,
                 blk_dim=blk_dim, span=span, metric=metric,
@@ -758,11 +763,20 @@ def diamond_search_frame(
     elif volume_mode == "full":
         if staged_supported(blk_dim, span, metric) and span >= 1:
             # Fast Pallas cost volume (bit-exact vs the golden tile's).
-            from motionestimation_tpu.kernels import full_search_pallas as ker
+            if metric == "ssim":
+                from motionestimation_tpu.kernels import ssim_pallas as sker
 
-            volume = ker.full_search_volume_pallas(
-                cur, ref, blk_dim=blk_dim, span=span, metric=metric
-            )
+                volume = sker.ssim_volume_pallas(
+                    cur, ref, blk_dim=blk_dim, span=span
+                )
+            else:
+                from motionestimation_tpu.kernels import (
+                    full_search_pallas as ker,
+                )
+
+                volume = ker.full_search_volume_pallas(
+                    cur, ref, blk_dim=blk_dim, span=span, metric=metric
+                )
         else:
             cur_p = fs.pad_cur_frame(cur, frame_height, frame_width, blk_dim)
             ref_halo = fs.make_ref_halo(
@@ -789,13 +803,21 @@ def staged_supported(blk_dim: int, span: int, metric: str) -> bool:
     """Whether the adaptive staged-volume fast path covers this config:
     MSE/SAD wherever the Pallas volume kernel (or its golden off-TPU
     fallback) can emit level volumes — blk <= 16 via the chunked/phase
-    families, blk 32 via the phase kernel's int32 sliding-sum fold.
-    SSIM stays lazy (float scores don't pack into integer volumes)."""
+    families, blk 32 via the phase kernel's int32 sliding-sum fold —
+    and SSIM wherever the fast SSIM kernel's float-score volume
+    emission covers (blk <= 16). Note: in `volume_mode="auto"` SSIM
+    only takes this path on real TPU — off-TPU the SSIM volume falls
+    back to the golden full-plane scan, which evaluates MORE planes
+    than the lazy path, so "auto" keeps lazy there."""
     from motionestimation_tpu.kernels import full_search_pallas as ker
+    from motionestimation_tpu.kernels import ssim_pallas as ssim_ker
 
+    if span < 2:
+        return False
+    if metric == "ssim":
+        return ssim_ker.ssim_supported(blk_dim, span)
     return (
         metric in ("mse", "sad")
-        and span >= 2
         and (blk_dim <= 16 or ker._phase_supported(blk_dim, span, metric))
     )
 
@@ -866,13 +888,19 @@ def _diamond_staged(
     bit-exact vs `diamond_search_np`.
     """
     from motionestimation_tpu.kernels import full_search_pallas as ker
+    from motionestimation_tpu.kernels import ssim_pallas as ssim_ker
 
     levels = _staged_levels(span)
 
     def run_level(r):
-        vol = ker.full_search_volume_pallas(
-            cur, ref, blk_dim=blk_dim, span=r, metric=metric
-        )
+        if metric == "ssim":
+            vol = ssim_ker.ssim_volume_pallas(
+                cur, ref, blk_dim=blk_dim, span=r
+            )
+        else:
+            vol = ker.full_search_volume_pallas(
+                cur, ref, blk_dim=blk_dim, span=r, metric=metric
+            )
         field, traj, esc = _diamond_replay(
             vol,
             blk_dim=blk_dim, span=r, metric=metric,
@@ -904,6 +932,17 @@ def _diamond_staged(
 
         field, traj, esc = lax.cond(
             jnp.any(esc), escalate, lambda s: s, (field, traj, esc)
+        )
+    if metric == "ssim":
+        # Level volumes index flat displacements by THEIR radius; remap
+        # the merged field's flat-index proxy to the true span so it
+        # matches the lazy/full paths' convention.
+        k_full = 2 * span + 1
+        field = MotionField(
+            field.mv_y,
+            field.mv_x,
+            (field.mv_y + span) * k_full + (field.mv_x + span),
+            field.score,
         )
     if not record_trajectory:
         traj = None

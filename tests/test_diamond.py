@@ -215,3 +215,43 @@ def test_staged_early_term_with_escalation(metric, early):
         np.asarray(f.best_cost_i32), best.astype(np.int64)
     )
     np.testing.assert_array_equal(np.asarray(t), traj)
+
+
+@pytest.mark.parametrize(
+    "h,w,blk,span,shift",
+    [
+        (48, 64, 8, 12, (1, -2)),    # level 1 only
+        (52, 60, 8, 15, (6, 5)),     # escalation + truncated edges
+        (64, 96, 16, 15, (6, 5)),    # blk 16 escalation
+    ],
+)
+def test_staged_ssim_equals_golden(h, w, blk, span, shift):
+    """Round-4 extension: staged diamond covers SSIM (float score
+    volumes from the fast SSIM kernel on TPU; golden volumes off-TPU).
+    Trajectories/MVs match the canonical numpy model exactly; scores
+    match the JAX full-volume replay bit-exactly (the numpy oracle's
+    eager, uncontracted float sequence can differ by 1 ULP from any
+    jitted path — the same class of quirk as PARITY deviation 6)."""
+    rng = np.random.default_rng(h + w + span)
+    cur, ref = _pair(rng, h, w, *shift)
+    assert diamond.staged_supported(blk, span, "ssim")
+    f, t = diamond.diamond_search_frame(
+        cur, ref, blk_dim=blk, span=span, metric="ssim",
+        record_trajectory=True, volume_mode="staged",
+    )
+    mvy, mvx, _, traj = diamond.diamond_search_np(
+        cur, ref, blk_dim=blk, span=span, metric="ssim"
+    )
+    np.testing.assert_array_equal(np.asarray(f.mv_y), mvy)
+    np.testing.assert_array_equal(np.asarray(f.mv_x), mvx)
+    np.testing.assert_array_equal(np.asarray(t), traj)
+    full = diamond.diamond_search_frame(
+        cur, ref, blk_dim=blk, span=span, metric="ssim",
+        volume_mode="full",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(f.score), np.asarray(full.score)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(f.best_cost_i32), np.asarray(full.best_cost_i32)
+    )
