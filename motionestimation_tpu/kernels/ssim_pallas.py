@@ -658,6 +658,76 @@ def ssim_volume_pallas(
     )
 
 
+def ssim_volume_tile_pallas(
+    cur_tile,
+    ref_halo,
+    y_origin,
+    x_origin,
+    *,
+    frame_height: int,
+    frame_width: int,
+    blk_dim: int,
+    span: int,
+    interpret: bool = False,
+):
+    """Per-shard [K², th//blk, tw//blk] float32 SSIM score volume via the
+    fast kernel's emission — the tile/shard_map analogue of
+    `ssim_volume_pallas`, with the shard's global origin supplied as a
+    traced (y_origin, x_origin) pair (same contract as
+    `ssim_search_tile_pallas`). Blocks truncated by the GLOBAL frame
+    edge are NOT handled (uniform-box counts); the sharded driver
+    repairs them with golden slabs. Consumer: the sharded staged
+    diamond. Interpret-mode callers should use the golden tile volume
+    (the emit loop's DMA effects cannot lower in interpret mode).
+    """
+    th, tw = cur_tile.shape
+    if th % blk_dim or tw % blk_dim:
+        raise ValueError(
+            f"tile dims must be multiples of blk_dim, got {th}x{tw}"
+        )
+    if not ssim_supported(blk_dim, span):
+        raise ValueError(
+            f"fast SSIM kernel unsupported for blk_dim={blk_dim} "
+            f"span={span}"
+        )
+    tile_h = 8 * blk_dim
+    hp2 = _round_up(th, tile_h)
+    halo_row_pad = _round_up(2 * span, 8)
+    ref_rows = hp2 + halo_row_pad
+    cur_f = cur_tile.astype(jnp.float32)
+    ref_f = ref_halo.astype(jnp.float32)
+
+    vol_panels = []
+    for x0p, pw in _panel_widths(_round_up(tw, blk_dim), blk_dim, 1024):
+        halo_w = _round_up(pw + 2 * span, 128)
+        cur_p = _pad_slab(
+            cur_f, row_range=(0, hp2), col_range=(x0p, x0p + pw),
+            out_rows=hp2, out_cols=pw, offset_r=0, offset_c=0,
+            dtype=jnp.float32,
+        )
+        # ref_halo row/col i ↔ tile row/col i - span, so tile-range
+        # [x0p - span, …) starts at halo column x0p.
+        ref_p = _pad_slab(
+            ref_f, row_range=(0, ref_rows), col_range=(x0p, x0p + halo_w),
+            out_rows=ref_rows, out_cols=halo_w, offset_r=0, offset_c=0,
+            dtype=jnp.float32,
+        )
+        origins = jnp.stack(
+            [jnp.asarray(y_origin), jnp.asarray(x_origin) + x0p]
+        ).astype(jnp.int32)
+        _, _, vol = _run_ssim_fast(
+            cur_p, ref_p, origins,
+            blk_dim=blk_dim, span=span,
+            frame_height=frame_height, frame_width=frame_width,
+            tile_h=tile_h, chunk=4, interpret=interpret,
+            emit_volume=True,
+        )
+        vol_panels.append(
+            vol[:, : th // blk_dim, ::blk_dim][:, :, : pw // blk_dim]
+        )
+    return jnp.concatenate(vol_panels, axis=2)[:, :, : tw // blk_dim]
+
+
 @functools.partial(
     jax.jit, static_argnames=("blk_dim", "span", "interpret")
 )

@@ -172,8 +172,7 @@ def sharded_motion_step(
                     frame_height=frame_height, frame_width=frame_width,
                     blk_dim=blk_dim, span=span, metric=metric,
                     use_pallas_volume=(
-                        backend == "pallas" and metric != "ssim"
-                        and not interpret
+                        backend == "pallas" and not interpret
                     ),
                 )
             elif backend == "pallas" and metric == "ssim":
@@ -228,7 +227,7 @@ def sharded_motion_step(
     # few hundred KB even at 4K).
     needs_repair = (
         backend == "pallas"
-        and (algorithm == "full" or (metric != "ssim" and not interpret))
+        and (algorithm == "full" or not interpret)
     )
     if needs_repair and (frame_height % blk_dim or frame_width % blk_dim):
         from motionestimation_tpu.search import diamond

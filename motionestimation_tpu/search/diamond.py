@@ -976,14 +976,14 @@ def diamond_search_tile(
     diamond candidates reach at most ±span, exactly the full-search
     halo footprint, so the same exchange serves both algorithms.
 
-    MSE/SAD run the staged-volume fast path per shard (level-r volumes
-    from the sliced halo; per-shard escalation under lax.cond — a
-    shard's level choice never affects exactness, so
+    Every metric runs the staged-volume fast path per shard (level-r
+    volumes from the sliced halo; per-shard escalation under lax.cond —
+    a shard's level choice never affects exactness, so
     sharded == unsharded == `diamond_search_np` stays bit-exact).
-    SSIM replays over the golden full-span float volume. Volumes come
-    from the Pallas phase kernel when `use_pallas_volume` (real-TPU
-    shards) and the golden XLA tile otherwise (bit-identical; interpret
-    mode cannot lower the Pallas emit loop).
+    Volumes come from the Pallas kernels when `use_pallas_volume`
+    (real-TPU shards: the phase kernel for MSE/SAD, the fast SSIM
+    kernel's score emission for SSIM) and the golden XLA tile otherwise
+    (bit-identical; interpret mode cannot lower the Pallas emit loops).
 
     Blocks truncated by the GLOBAL frame edge are exact here only on
     the golden-volume path; the Pallas volume assumes whole blocks and
@@ -1013,6 +1013,14 @@ def diamond_search_tile(
                 frame_height=frame_height, frame_width=frame_width,
                 blk_dim=blk_dim, span=r, metric=metric,
             )
+        if use_pallas_volume and metric == "ssim":
+            from motionestimation_tpu.kernels import ssim_pallas as sker
+
+            return sker.ssim_volume_tile_pallas(
+                cur_tile, rh, y_origin, x_origin,
+                frame_height=frame_height, frame_width=frame_width,
+                blk_dim=blk_dim, span=r,
+            )
         _, vol = fs.full_search_tile(
             cur_tile, rh, y_origin, x_origin,
             frame_height=frame_height, frame_width=frame_width,
@@ -1026,13 +1034,6 @@ def diamond_search_tile(
         max_steps=max_steps, record_trajectory=record_trajectory,
         frame_height=frame_height, frame_width=frame_width,
     )
-
-    if metric == "ssim":
-        field, traj, _ = _diamond_replay(
-            level_volume(span), y_origin, x_origin, span=span, **replay_kw
-        )
-        out = (field.mv_y, field.mv_x, field.score)
-        return out + (traj,) if record_trajectory else out
 
     levels = _staged_levels(span)
 
@@ -1065,7 +1066,11 @@ def diamond_search_tile(
         field, traj, esc = lax.cond(
             jnp.any(esc), escalate, lambda s: s, (field, traj, esc)
         )
-    out = (field.mv_y, field.mv_x, field.best_cost_i32)
+    out = (
+        field.mv_y,
+        field.mv_x,
+        field.score if metric == "ssim" else field.best_cost_i32,
+    )
     return out + (traj,) if record_trajectory else out
 
 

@@ -186,17 +186,31 @@ def main() -> int:
         o_mvy, o_mvx, o_cost, o_traj = diamond.diamond_search_np(
             cur, ref, blk_dim=blk, span=span, metric=metric
         )
+        if metric == "ssim":
+            # Trajectories/MVs exact; scores within the hardware drift
+            # band (deviation 6) — integer-exact comparison does not
+            # exist for float SSIM scores on chip.
+            adiff = float(
+                np.abs(
+                    np.asarray(field.score).astype(np.float64) - o_cost
+                ).max()
+            )
+            cost_ok = adiff <= SSIM_SCORE_ATOL
+            tail = f"trajectories+MVs exact, score drift {adiff:.2e}"
+        else:
+            cost_ok = np.array_equal(
+                np.asarray(field.best_cost_i32).astype(np.int64),
+                o_cost.astype(np.int64),
+            )
+            tail = "trajectories+MVs+costs"
         ok = (
             np.array_equal(np.asarray(traj), o_traj)
             and np.array_equal(np.asarray(field.mv_y), o_mvy)
             and np.array_equal(np.asarray(field.mv_x), o_mvx)
-            and np.array_equal(
-                np.asarray(field.best_cost_i32).astype(np.int64),
-                o_cost.astype(np.int64),
-            )
+            and cost_ok
         )
         print(f"{'OK  ' if ok else 'FAIL'} {name} (staged diamond, "
-              f"{metric} blk {blk} span {span}, trajectories+MVs+costs)")
+              f"{metric} blk {blk} span {span}, {tail})")
         failures += 0 if ok else 1
         extra += 1
 
@@ -222,6 +236,8 @@ def main() -> int:
     check_diamond("rand_trunc_diamond_8_7_escalation", dcur, dref, 8, 7,
                   "mse")
     check_diamond("rand_trunc_diamond_32_12", dcur, dref, 32, 12, "mse")
+    check_diamond("rand_trunc_diamond_ssim_16_15", dcur, dref, 16, 15,
+                  "ssim")
 
     # Pallas cost-volume emission == golden volume, on chip (the phase
     # emit path never runs in interpret mode, so this is its only
@@ -280,6 +296,37 @@ def main() -> int:
     ok = np.array_equal(tvol, np.asarray(gvol))
     print(f"{'OK  ' if ok else 'FAIL'} tile_volume_origin_{y0}_{x0} "
           f"(Pallas tile volume, traced origins)")
+    failures += 0 if ok else 1
+    extra += 1
+
+    # SSIM tile volume with non-zero traced origins (the sharded staged
+    # SSIM diamond's production volume source): exact sentinels, scores
+    # within the hardware drift band.
+    from motionestimation_tpu.kernels import ssim_pallas as skp
+
+    stvol = np.asarray(
+        skp.ssim_volume_tile_pallas(
+            jnp.asarray(fcur[y0:, x0:], jnp.int32), ref_halo,
+            y0, x0,
+            frame_height=288, frame_width=352,
+            blk_dim=blk, span=span,
+        )
+    )
+    _, sgvol = gfs.full_search_tile(
+        jnp.asarray(fcur[y0:, x0:], jnp.int32), ref_halo, y0, x0,
+        frame_height=288, frame_width=352,
+        blk_dim=blk, span=span, metric="ssim",
+        return_cost_volume=True,
+    )
+    sgvol = np.asarray(sgvol)
+    fin = np.isfinite(stvol) & np.isfinite(sgvol)
+    adiff = float(np.abs(stvol[fin] - sgvol[fin]).max())
+    ok = (
+        np.array_equal(np.isneginf(stvol), np.isneginf(sgvol))
+        and adiff <= SSIM_SCORE_ATOL
+    )
+    print(f"{'OK  ' if ok else 'FAIL'} ssim_tile_volume_origin_{y0}_{x0} "
+          f"(sentinels exact, score drift {adiff:.2e})")
     failures += 0 if ok else 1
     extra += 1
 
