@@ -140,6 +140,61 @@ def main():
     # with the int32 sliding-sum fold; full blk sweep in results/tpu/v7.txt).
     blk32_4k = search_time(2160, 3840, 32, 31)
 
+    # Staged diamond at the same extreme point, on slow-motion content
+    # (kron texture, |shift| within the first staged level — diamond's
+    # design regime; the adversarial bound is the diamond_worstcase_*
+    # fields / v8.txt rows). 16 distinct frames bound host memory; the
+    # ~25 ms dispatch round trip amortizes to ~1.6 ms/frame — the
+    # matrix row (best-of-3 at the same batch) is the cleaner number.
+    from motionestimation_tpu.search import diamond
+
+    d4_small = rng.integers(0, 256, (2160 // 4 + 2, 3840 // 4 + 2)).astype(
+        np.float64
+    )
+    d4_ref = np.clip(
+        np.kron(d4_small, np.ones((4, 4)))[:2160, :3840]
+        + rng.normal(0, 1, (2160, 3840)),
+        0, 255,
+    ).astype(np.uint8)
+    d4_curs = np.stack(
+        [
+            np.clip(
+                np.roll(d4_ref, (1, -2), (0, 1)).astype(np.int32)
+                + rng.integers(-1, 2, (2160, 3840)),
+                0, 255,
+            ).astype(np.uint8)
+            for _ in range(16)
+        ]
+    )
+    d4c = jax.device_put(jnp.asarray(d4_curs))
+    d4r = jax.device_put(
+        jnp.asarray(np.broadcast_to(d4_ref, (16, 2160, 3840)).copy())
+    )
+    jax.block_until_ready((d4c, d4r))
+
+    @jax.jit
+    def run_diamond32(curs, refs):
+        def one(cr):
+            f, _ = diamond._diamond_staged(
+                cr[0], cr[1], blk_dim=32, span=31,
+                early_term=None, max_steps=33, record_trajectory=False,
+                frame_height=2160, frame_width=3840,
+            )
+            return (
+                jnp.sum(f.mv_y) + jnp.sum(f.mv_x) + jnp.sum(f.best_cost_i32)
+            )
+
+        return jnp.sum(jax.lax.map(one, (curs, refs)))
+
+    int(run_diamond32(d4c, d4r))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(run_diamond32(d4c, d4r))
+        ts.append((time.perf_counter() - t0) / 16)
+    diamond_blk32_4k = float(min(ts) * 1e3)
+    del d4c, d4r, d4_curs
+
     # --- BASELINE config 3: diamond vs full search, 1080p, slow motion.
     from motionestimation_tpu.search import diamond
 
@@ -382,6 +437,7 @@ def main():
                     diamond_worst_ms / full_1080_ms, 2
                 ),
                 "blk32_span31_4k_ms": round(blk32_4k, 3),
+                "diamond_blk32_span31_4k_ms": round(diamond_blk32_4k, 3),
             }
         )
     )
