@@ -272,3 +272,33 @@ def test_run_gop_writer_error_raises_not_hangs(tmp_path, monkeypatch):
             chunk_pairs=1, stats_out=stats,
         )
     assert stats["wall_s"] > 0  # stats filled even on the error path
+
+
+def test_run_gop_sharded_diamond_matches_single_device(tmp_path):
+    """GOP pipeline composition with algorithm="diamond": the sharded
+    GOP's dumps equal the single-device diamond GOP's bit-for-bit."""
+    from motionestimation_tpu.core.config import SearchConfig
+    from motionestimation_tpu.pipeline import runner
+
+    frames_dir = "/root/reference/frames"
+    gop = [
+        f"{frames_dir}/ForemanYF1.yuv",
+        f"{frames_dir}/ForemanYF2.yuv",
+        f"{frames_dir}/ForemanYF4.yuv",
+    ]
+    config = SearchConfig(
+        blk_dim=16, span=7, frame_width=352, frame_height=288,
+        algorithm="diamond",
+    )
+    single = tmp_path / "single"
+    shard = tmp_path / "shard"
+    runner.run_gop(gop, config, output_dir=single, backend="xla")
+    mesh = make_mesh(2, 2, 2)
+    runner.run_gop_sharded(gop, config, mesh=mesh, output_dir=shard)
+    for i in range(2):
+        a = np.load(single / f"mv_{i:05d}.npz")
+        b = np.load(shard / f"mv_{i:05d}.npz")
+        np.testing.assert_array_equal(a["mv_y"], b["mv_y"])
+        np.testing.assert_array_equal(a["mv_x"], b["mv_x"])
+        np.testing.assert_array_equal(a["best_cost"], b["best_cost"])
+        assert abs(float(a["psnr"]) - float(b["psnr"])) < 1e-9
