@@ -57,7 +57,9 @@ BLK, SPAN = 8, 12
 # <1 GB HBM, so the number approaches the pure kernel rate — the
 # honest analogue of the reference's CUDA-event `kernel` column.
 BATCH = 32
-GOP_FRAMES = 25  # 24 pairs = 3 chunks of 8 through the pipelined GOP
+# 32 pairs = 4 chunks of 8 through the pipelined GOP: long enough that
+# the pipeline's startup ramp and trailing D2H are <=10% of the wall.
+GOP_FRAMES = 33
 
 # VPU issue ceiling: 8x128 lanes x 4 ALUs x ~1.5 GHz — an UPPER bound
 # that assumes every ALU issues every cycle with no load/store or

@@ -330,6 +330,65 @@ def main() -> int:
     failures += 0 if ok else 1
     extra += 1
 
+    # --- Sharded step on REAL hardware: a 1-chip ("dp","ty","tx") mesh
+    # runs the same shard_map program (halo exchange + per-shard Pallas
+    # kernels with traced origins + psum'd stats) the virtual-CPU tests
+    # and the multi-chip dry-run exercise — this is the only place that
+    # program executes on an actual TPU. sharded == unsharded for full
+    # search (bit-exact incl. stats-derived PSNR) and diamond
+    # (== diamond_search_np).
+    from motionestimation_tpu.core import frames as frames_lib
+    from motionestimation_tpu.parallel import make_mesh
+    from motionestimation_tpu.parallel.sharded import sharded_motion_step
+
+    mesh = make_mesh(1, 1, 1, devices=jax.devices()[:1])
+    h, w = 100, 170  # truncated edges at blk 8
+    res = sharded_motion_step(
+        dcur[None], dref[None], mesh=mesh, blk_dim=8, span=9,
+        metric="mse", frame_height=h, frame_width=w, backend="pallas",
+    )
+    o_mvy, o_mvx, o_cost, _ = rm.full_search_mse(dcur, dref, 8, 9)
+    nby, nbx = o_mvy.shape
+    psnr_stats = frames_lib.psnr_from_stats(
+        (int(res.sum_sq_hi[0]) << 15) + int(res.sum_sq_lo[0]),
+        h * w, int(res.frame_max[0]),
+    )
+    comp_host = frames_lib.compensate_frame_np(dref, o_mvy, o_mvx, 8)
+    psnr_host = frames_lib.image_psnr(comp_host, dcur.astype(np.int32))
+    ok = (
+        np.array_equal(np.asarray(res.mv_y)[0, :nby, :nbx], o_mvy)
+        and np.array_equal(np.asarray(res.mv_x)[0, :nby, :nbx], o_mvx)
+        and np.array_equal(
+            np.asarray(res.best_cost)[0, :nby, :nbx].astype(np.int64),
+            o_cost,
+        )
+        and psnr_stats == psnr_host
+    )
+    print(f"{'OK  ' if ok else 'FAIL'} sharded_1chip_mse_8_9 (shard_map "
+          f"step on hardware: MVs+costs+PSNR-stats vs oracle)")
+    failures += 0 if ok else 1
+    extra += 1
+
+    res_d = sharded_motion_step(
+        dcur[None], dref[None], mesh=mesh, blk_dim=8, span=7,
+        metric="mse", frame_height=h, frame_width=w, backend="pallas",
+        algorithm="diamond",
+    )
+    d_mvy, d_mvx, d_cost, _ = diamond.diamond_search_np(
+        dcur, dref, blk_dim=8, span=7, metric="mse"
+    )
+    ok = (
+        np.array_equal(np.asarray(res_d.mv_y)[0, :nby, :nbx], d_mvy)
+        and np.array_equal(
+            np.asarray(res_d.best_cost)[0, :nby, :nbx].astype(np.int64),
+            d_cost.astype(np.int64),
+        )
+    )
+    print(f"{'OK  ' if ok else 'FAIL'} sharded_1chip_diamond_8_7 "
+          f"(per-shard staged diamond on hardware vs diamond_search_np)")
+    failures += 0 if ok else 1
+    extra += 1
+
     total = len(cases) + extra
     print(f"{total - failures}/{total} cases bit-exact "
           f"on backend={backend}")
