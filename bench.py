@@ -330,8 +330,26 @@ def main():
         int(sum(jnp.sum(d[0], dtype=jnp.int32) for d in ds))
         return time.perf_counter() - t0
 
+    def probe_rate(frames):
+        """MB/s from the frames ACTUALLY shipped (len(frames), not a
+        nominal count — the round-4 pre-probe divided 28 frames' time by
+        32 frames' bytes, overstating the rate ~14%)."""
+        return len(frames) * (H * W / 1e6) / probe_pass(frames)
+
     probe_pass(refs[:4])  # warm: compiles the tiny sum programs
     n_probe = GOP_FRAMES - 1
+
+    # Disk probe (round-4 verdict item 1): page-cache-hot read pass over
+    # the GOP's own files, bracketing the timed run exactly like the
+    # link probe — so the JSON can attribute residual wall to the host
+    # read path vs the link. Reads recycle ONE buffer, like run_gop's
+    # reader pool.
+    def disk_rate(gop_paths):
+        buf = np.empty((H, W), np.uint8)
+        t0 = time.perf_counter()
+        for p in gop_paths:
+            frames_lib.load_yuv_into(p, buf)
+        return len(gop_paths) * (H * W / 1e6) / (time.perf_counter() - t0)
 
     with tempfile.TemporaryDirectory() as td:
         paths = []
@@ -354,11 +372,10 @@ def main():
         # warmup: compile the chunk program + prime the transfer path
         # (a 2-frame GOP pads to the same 8-pair program shape).
         runner.run_gop(paths[:2], config, output_dir=outdir, resume=False)
+        disk_rates = [disk_rate(paths)]
         # Pre-run probe pass, taken immediately before the timed runs so
         # the bracketing window is as tight as the drift allows.
-        rates_pre = [
-            n_probe * (H * W / 1e6) / probe_pass(refs[4 : 4 + n_probe])
-        ]
+        rates_pre = [probe_rate(refs[4 : 4 + n_probe])]
         # Best of 2 timed GOP runs — the same one-sided-noise philosophy
         # as the link bound (best probe pass) and the kernel rows
         # (best-of-3): the link's drift is the dominant noise and only
@@ -376,10 +393,11 @@ def main():
             fps = (GOP_FRAMES - 1) / (time.perf_counter() - t0)
             if fps > gop_fps:
                 gop_fps, gop_stats = fps, run_stats
+        disk_rates.append(disk_rate(paths))
 
     # Post-run probe pass (fresh frames so every put really transfers).
     post_frames = rng.integers(0, 256, (n_probe, H, W), dtype=np.uint8)
-    rates_post = [n_probe * (H * W / 1e6) / probe_pass(post_frames)]
+    rates_post = [probe_rate(post_frames)]
     link_mb_s = max(rates_pre + rates_post)
     link_bound_fps = link_mb_s / (H * W / 1e6)
     # Total bytes the timed run moved over the link (H2D frames + D2H
@@ -411,6 +429,13 @@ def main():
                     min(rates_pre + rates_post), 1
                 ),
                 "gop_effective_link_mb_s": round(eff_link_mb_s, 1),
+                # Host read-path band over the GOP's own files (page-
+                # cache-hot, bracketing the timed run like the link
+                # probes): load_s is attributable to disk only if this
+                # band is of the same magnitude as the achieved load
+                # rate.
+                "gop_disk_mb_s": round(max(disk_rates), 1),
+                "gop_disk_probe_min_mb_s": round(min(disk_rates), 1),
                 "gop_pct_of_link_bound": round(
                     100.0 * gop_fps / link_bound_fps, 1
                 ),

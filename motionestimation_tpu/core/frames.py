@@ -48,6 +48,29 @@ def load_yuv(path: str | os.PathLike, height: int, width: int) -> np.ndarray:
     return np.frombuffer(raw, dtype=np.uint8, count=n).reshape(height, width)
 
 
+def load_yuv_into(path: str | os.PathLike, out: np.ndarray) -> np.ndarray:
+    """`load_yuv` into a caller-owned [H, W] uint8 buffer (no allocation).
+
+    Same bytes as `load_yuv`; exists so the pipelined GOP reader can
+    recycle a fixed buffer pool — a fresh allocation per 4K frame costs
+    ~50-150 ms of first-touch page faults on this host while transfers
+    are in flight, vs ~2 ms into a reused buffer (the userspace analogue
+    of the reference's pinned-host staging, main_mse.cu:168-169)."""
+    if out.dtype != np.uint8 or out.ndim != 2 or not out.flags.c_contiguous:
+        raise ValueError("out must be a C-contiguous [H, W] uint8 array")
+    if io_native.available():
+        return io_native.read_frame_into(path, out)
+    n = out.size
+    with open(path, "rb") as f:
+        got = f.readinto(out.reshape(-1))
+    if got < n:
+        h, w = out.shape
+        raise IOError(
+            f"{path}: expected at least {n} bytes for {w}x{h} luma, got {got}"
+        )
+    return out
+
+
 def save_yuv(path: str | os.PathLike, frame: np.ndarray) -> None:
     """Write an integer frame as raw u8 bytes (C-cast narrowing, utils.c:57)."""
     data = np.asarray(frame)

@@ -72,10 +72,20 @@ def _check(rc: int, what: str):
 
 def read_frame(path: str | os.PathLike, height: int, width: int) -> np.ndarray:
     out = np.empty((height, width), np.uint8)
+    read_frame_into(path, out)
+    return out
+
+
+def read_frame_into(path: str | os.PathLike, out: np.ndarray) -> np.ndarray:
+    """Read a frame into a caller-owned [H, W] uint8 buffer (no allocation).
+
+    The GOP reader thread recycles a fixed buffer pool through this: a
+    fresh np.empty per 4K frame pays ~50-150 ms of first-touch page
+    faults on this host while device transfers are in flight (measured;
+    reused buffers read the same frame in ~2 ms)."""
+    h, w = out.shape
     _check(
-        _lib().me_read_frame_u8(
-            os.fsencode(path), height, width, out
-        ),
+        _lib().me_read_frame_u8(os.fsencode(path), h, w, out),
         f"read_frame({path})",
     )
     return out

@@ -401,20 +401,40 @@ def run_gop(
     # analogue of the reference's pinned-host staging
     # (main_mse.cu:168-169). Transfers enqueue in reader order ==
     # consumption order, keeping the link FIFO busy end to end.
+    #
+    # Frames are read into a fixed pool of reusable host buffers: a
+    # fresh allocation per 4K frame pays ~50-150 ms of first-touch page
+    # faults on this host while transfers are in flight (measured — it
+    # was 5.5 s of the 8.2 s round-4 GOP wall), vs ~2 ms into a reused
+    # buffer. A buffer is recycled only after the writer has fetched the
+    # results of the chunk that consumed its frame — the program output
+    # depends on the staged frame, so its H2D transfer has provably
+    # completed and the reuse can never race the copy.
     host_q: queue.Queue = queue.Queue()
     read_window = threading.Semaphore(2 * chunk_pairs + 2)
     reader_err: list[BaseException] = []
 
     cancel = threading.Event()
 
+    n_bufs = min(3 * chunk_pairs + 6, len(frame_order))
+    buf_pool: queue.Queue = queue.Queue()
+    for _ in range(n_bufs):
+        b = np.empty((h, w), np.uint8)
+        b.fill(0)  # pre-fault so the first reads skip the slow path too
+        buf_pool.put(b)
+    frame_bufs: dict[int, np.ndarray] = {}
+
     def reader():
         for i in frame_order:
             read_window.acquire()
             if cancel.is_set():
                 return
+            buf = buf_pool.get()
+            if buf is None or cancel.is_set():
+                return
             try:
                 t0 = time.perf_counter()
-                f = frames_lib.load_yuv(paths[i], h, w)
+                f = frames_lib.load_yuv_into(paths[i], buf)
                 t1 = time.perf_counter()
                 d = jax.device_put(f)
                 stats["load_s"] += t1 - t0
@@ -423,6 +443,7 @@ def run_gop(
                 reader_err.append(e)
                 host_q.put((i, None))
                 return
+            frame_bufs[i] = buf
             host_q.put((i, d))
 
     rt = threading.Thread(target=reader, name="gop-reader", daemon=True)
@@ -493,6 +514,13 @@ def run_gop(
                 t0 = time.perf_counter()
                 nps = [np.asarray(o) for o in outs]
                 stats["d2h_wait_s"] += time.perf_counter() - t0
+                # The fetched results depend on every frame this chunk
+                # staged, so those H2D transfers are complete: recycle
+                # their host buffers to the reader pool.
+                for fr in range(idxs[0], idxs[-1] + 2):
+                    b = frame_bufs.pop(fr, None)
+                    if b is not None:
+                        buf_pool.put(b)
                 dump_chunk(idxs, nps)
             except BaseException as e:  # noqa: BLE001 — re-raised in main
                 writer_err.append(e)
@@ -531,6 +559,7 @@ def run_gop(
         wt.join()
         cancel.set()
         read_window.release()  # unblock a reader stuck on an error path
+        buf_pool.put(None)  # ... or blocked waiting for a free buffer
         rt.join()
         staged.clear()  # drop boundary frames runs left pinned in HBM
         stats["wall_s"] = time.perf_counter() - t_wall
