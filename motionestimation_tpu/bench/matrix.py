@@ -21,10 +21,11 @@ Rows beyond v7's matrix (round-4):
     the measured validation of `_staged_levels`' <=1.4x worst-case
     bound;
   * gop-e2e: run_gop end-to-end ms/frame at 4K 8x8 +-12 (pipelined;
-    link-bound on this host). Compared with a proportional 25%
-    epsilon instead of 0.1 ms — the transport link drifts ~2x between
-    runs (bench.py probe bracketing), so an absolute epsilon on a
-    ~200 ms transport-bound row would flag noise, not regressions.
+    link-bound on this host) — informational only, since the transport
+    link drifts ~2x between runs (bench.py probe bracketing); the GATED
+    end-to-end row is gop-e2e-pct, the pct of the bracketing link bound
+    the pipeline reached (round-4 verdict item 6: transport-normalized,
+    so a real pipeline regression is detectable under link drift).
 """
 from __future__ import annotations
 
@@ -35,8 +36,43 @@ import time
 
 import numpy as np
 
-GOP_EPSILON_FRAC = 0.25  # link-drift tolerance for transport-bound rows
 KERNEL_EPSILON_MS = 0.1  # run.sh:79
+GOP_PCT_DROP = 10.0  # pct-of-link-bound points a gop-e2e-pct row may drop
+
+
+def compare_rows(rows, prev_rows):
+    """Epsilon-compare this run's rows against the previous version's.
+
+    Returns (lines, n_regressions). Three row classes (round-4 verdict
+    item 6 — gate the end-to-end row on a transport-normalized metric):
+
+    * `gop-e2e-pct` rows carry pct-of-link-bound (HIGHER is better, the
+      link probe brackets the same run): regression when the pct drops
+      more than GOP_PCT_DROP points. The link drifting 2x moves raw ms
+      2x but moves this pct only by the pipeline's own behavior, so a
+      real ~20% pipeline regression is detectable under full drift.
+    * `gop-e2e` raw-ms rows are informational only — gating raw ms on a
+      transport-bound row at 25% was noise-gating (two same-day round-4
+      records disagreed by 62%).
+    * every other row is a kernel time under the reference's absolute
+      0.1 ms rule (src/gpu/run.sh:79).
+    """
+    lines = []
+    regressions = 0
+    for tag, val in rows:
+        if tag not in prev_rows:
+            lines.append(f"new: {tag}: {val:.4f} (no previous row)")
+            continue
+        prev = float(prev_rows[tag])
+        if tag.startswith("gop-e2e-pct"):
+            flag = "REGRESSION" if val < prev - GOP_PCT_DROP else "ok"
+        elif tag.startswith("gop-e2e"):
+            flag = "info"
+        else:
+            flag = "REGRESSION" if val > prev + KERNEL_EPSILON_MS else "ok"
+        regressions += flag == "REGRESSION"
+        lines.append(f"{flag}: {tag}: {val:.4f} vs previous {prev:.4f}")
+    return lines, regressions
 
 
 def _synth(rng, h, w, texture=4, shift=(1, -2), noise=1):
@@ -113,11 +149,11 @@ def run_matrix(version: int, results_dir: str = os.path.join(
 
         return one
 
-    def diamond_one(blk, span, metric, h, w):
+    def diamond_one(blk, span, metric, h, w, early_term=None):
         def one(cr):
             f, _ = diamond._diamond_staged(
                 cr[0], cr[1], blk_dim=blk, span=span, metric=metric,
-                early_term=None,
+                early_term=early_term,
                 max_steps=diamond.default_max_steps(span),
                 record_trajectory=False, frame_height=h, frame_width=w,
             )
@@ -157,6 +193,18 @@ def run_matrix(version: int, results_dir: str = os.path.join(
     record(
         "config3-ref: synthetic-Beauty 1080p, full search, blk 16, span 15",
         timed(fs_one(16, 15, "mse"), d_cur, d_ref, 64),
+    )
+    # round-5: what early termination buys on natural content (BASELINE
+    # config 3 "early termination parity"): same content as config3 with
+    # a per-pixel MSE threshold the true matches beat, so satisfied
+    # blocks drop out of the replay rounds early (the staged level-1
+    # volume is computed either way — the delta vs config3 is the
+    # honest size of the win in this regime).
+    record(
+        "config3-early: synthetic-Beauty 1080p, DIAMOND early-term 2.0, "
+        "blk 16, span 15",
+        timed(diamond_one(16, 15, "mse", hh, ww, early_term=2.0),
+              d_cur, d_ref, 64),
     )
     # round-4: diamond-SAD next to its full-search row.
     record(
@@ -281,8 +329,18 @@ def run_matrix(version: int, results_dir: str = os.path.join(
     )
 
     # round-4: end-to-end pipelined GOP (8 pairs, one chunk dispatch).
+    # round-5: the gated quantity is pct-of-link-bound — the link probe
+    # brackets the timed run exactly like bench.py, so the row is
+    # transport-normalized (compare_rows); raw ms stays informational.
+    def probe_pass(frames):
+        t0 = time.perf_counter()
+        ds = [jax.device_put(jnp.asarray(f)) for f in frames]
+        int(sum(jnp.sum(d[0], dtype=jnp.int32) for d in ds))
+        return time.perf_counter() - t0
+
     with tempfile.TemporaryDirectory() as td:
         paths = []
+        gop_frames = [j_ref]
         prev = j_ref
         for i in range(9):
             f = np.clip(
@@ -293,6 +351,7 @@ def run_matrix(version: int, results_dir: str = os.path.join(
             p = os.path.join(td, f"f{i:03d}.yuv")
             save_yuv(p, f)
             paths.append(p)
+            gop_frames.append(f)
             prev = f
         config = SearchConfig(
             blk_dim=8, span=12, metric="mse",
@@ -300,13 +359,27 @@ def run_matrix(version: int, results_dir: str = os.path.join(
         )
         outdir = os.path.join(td, "out")
         runner.run_gop(paths[:2], config, output_dir=outdir, resume=False)
+        probe_pass(gop_frames[:2])  # warm the tiny sum programs
+        frame_mb = 2160 * 3840 / 1e6
+        rates = [len(gop_frames[1:]) * frame_mb / probe_pass(gop_frames[1:])]
         t0 = time.perf_counter()
         runner.run_gop(paths, config, output_dir=outdir, resume=False)
         gop_ms = (time.perf_counter() - t0) / (len(paths) - 1) * 1e3
+        post = np.stack(
+            [rng.integers(0, 256, prev.shape, dtype=np.uint8)
+             for _ in range(len(paths) - 1)]
+        )
+        rates.append(len(post) * frame_mb / probe_pass(post))
+    link_bound_ms = frame_mb / max(rates) * 1e3
     record(
         "gop-e2e: synthetic-Jockey 4K GOP, SSD, blk 8, span 12 "
-        "(pipelined end-to-end, link-bound)",
+        "(pipelined end-to-end, link-bound; informational)",
         gop_ms,
+    )
+    record(
+        "gop-e2e-pct: pct of bracketing link bound reached by the GOP "
+        "pipeline (gated; higher is better)",
+        100.0 * link_bound_ms / gop_ms,
     )
 
     os.makedirs(results_dir, exist_ok=True)
@@ -322,15 +395,16 @@ def run_matrix(version: int, results_dir: str = os.path.join(
             "# diamond-worstcase rows: adversarial full-escalation "
             "content validating _staged_levels' <=1.4x bound.\n"
             "# gop-e2e row: end-to-end wall ms/frame (host link-bound; "
-            f"compared at {int(GOP_EPSILON_FRAC*100)}% tolerance — the "
-            "tunnel drifts ~2x between runs).\n"
+            "informational — the tunnel drifts ~2x between runs).\n"
+            "# gop-e2e-pct row: pct of the bracketing link bound the "
+            f"pipeline reached (gated: -{GOP_PCT_DROP:.0f} pts flags).\n"
         )
         for tag, ms in rows:
             f.write(f"[ {tag} ]\nkernel {ms:.4f} ms\n")
     print(f"wrote {out}")
 
-    # v{N} vs v{N-1}, reference epsilon (run.sh:79) per kernel row;
-    # proportional epsilon for the transport-bound GOP row.
+    # v{N} vs v{N-1}: kernel rows under the reference 0.1 ms rule
+    # (run.sh:79); the GOP row gated transport-normalized (compare_rows).
     prev_path = os.path.join(results_dir, f"v{version - 1}.txt")
     regressions = 0
     if os.path.exists(prev_path):
@@ -339,16 +413,7 @@ def run_matrix(version: int, results_dir: str = os.path.join(
                 r"\[ (.+?) \]\nkernel ([\d.]+) ms", open(prev_path).read()
             )
         )
-        for tag, ms in rows:
-            if tag not in prev_rows:
-                print(f"new: {tag}: {ms:.4f} (no v{version - 1} row)")
-                continue
-            pms = float(prev_rows[tag])
-            eps = (
-                pms * GOP_EPSILON_FRAC if tag.startswith("gop-e2e")
-                else KERNEL_EPSILON_MS
-            )
-            flag = "REGRESSION" if ms > pms + eps else "ok"
-            regressions += flag == "REGRESSION"
-            print(f"{flag}: {tag}: {ms:.4f} vs v{version - 1} {pms:.4f}")
+        lines, regressions = compare_rows(rows, prev_rows)
+        for line in lines:
+            print(line)
     return 1 if regressions else 0

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--algorithm", choices=("full", "diamond"), default="full"
     )
     p.add_argument(
+        "--early-term", type=float, default=None, metavar="THRESH",
+        help="diamond early-termination per-pixel cost threshold "
+        "(BASELINE config 3): stop a block's search once its best mean "
+        "cost beats THRESH (MSE/SAD <=, SSIM >=)",
+    )
+    p.add_argument(
         "--backend", choices=("auto", "xla", "pallas"), default="auto"
     )
     p.add_argument("--gop", nargs="+", metavar="FRAME", default=None,
@@ -105,6 +111,7 @@ def main(argv=None) -> int:
         span=args.span,
         metric=args.metric,
         algorithm=args.algorithm,
+        early_term=args.early_term,
         frame_width=args.frame_width,
         frame_height=args.frame_height,
     )

@@ -27,6 +27,11 @@ class SearchConfig:
       algorithm: "full" (exhaustive raster scan — the reference's only
         algorithm) or "diamond" (LDSP/SDSP with early termination — new,
         required by BASELINE.json configs).
+      early_term: per-pixel cost threshold for diamond early termination
+        (BASELINE config 3): a block whose current best mean cost beats
+        the threshold (MSE/SAD <= early_term, SSIM >= early_term) stops
+        searching immediately. None (default) disables. Diamond only —
+        full search is exhaustive by definition.
       frame_width / frame_height: luma plane dimensions.
     """
 
@@ -34,6 +39,7 @@ class SearchConfig:
     span: int = 12
     metric: str = "mse"
     algorithm: str = "full"
+    early_term: float | None = None
     frame_width: int = 352
     frame_height: int = 288
 
@@ -49,6 +55,11 @@ class SearchConfig:
         if self.algorithm not in ("full", "diamond"):
             raise ValueError(
                 f"algorithm must be 'full' or 'diamond', got {self.algorithm!r}"
+            )
+        if self.early_term is not None and self.algorithm != "diamond":
+            raise ValueError(
+                "early_term only applies to algorithm='diamond' "
+                "(full search is exhaustive by definition)"
             )
         if self.frame_width < 1 or self.frame_height < 1:
             raise ValueError("frame dimensions must be positive")

@@ -103,7 +103,7 @@ def _resolve_backend(backend: str, blk_dim: int, span: int, metric: str):
     jax.jit,
     static_argnames=("mesh", "blk_dim", "span", "metric",
                      "frame_height", "frame_width", "backend",
-                     "algorithm"),
+                     "algorithm", "early_term"),
 )
 def sharded_motion_step(
     cur_batch,
@@ -117,6 +117,7 @@ def sharded_motion_step(
     frame_width: int,
     backend: str = "auto",
     algorithm: str = "full",
+    early_term: float | None = None,
 ):
     """One full motion-estimation step for a batch of frame pairs.
 
@@ -133,7 +134,10 @@ def sharded_motion_step(
     diamond candidates reach at most ±span, so the same halo exchange
     serves both; sharded == unsharded == diamond_search_np bit-exact).
     Under "diamond", backend "pallas" means phase-kernel level volumes
-    per shard and "golden" means XLA tile volumes.
+    per shard and "golden" means XLA tile volumes. `early_term` is the
+    diamond early-termination per-pixel threshold (a per-block decision
+    on per-block state, so sharding cannot change it; parity tests
+    assert sharded == diamond_search_np with the same threshold).
 
     This is the function the multi-chip dry-run jits over the mesh: search
     + halo exchange + compensation + metric reduction in one program.
@@ -171,6 +175,7 @@ def sharded_motion_step(
                     cur_t, ref_halo, y0, x0,
                     frame_height=frame_height, frame_width=frame_width,
                     blk_dim=blk_dim, span=span, metric=metric,
+                    early_term=early_term,
                     use_pallas_volume=(
                         backend == "pallas" and not interpret
                     ),
@@ -238,6 +243,7 @@ def sharded_motion_step(
                     c, r, yo, xo,
                     frame_height=frame_height, frame_width=frame_width,
                     blk_dim=blk_dim, span=span, metric=metric,
+                    early_term=early_term,
                     use_pallas_volume=False,
                 )
             else:
@@ -313,6 +319,7 @@ def sharded_full_search(
     metric: str = "mse",
     backend: str = "auto",
     algorithm: str = "full",
+    early_term: float | None = None,
 ):
     """Single frame-pair convenience wrapper (batch of 1) returning a
     MotionField on the block grid plus the compensated frame, both global
@@ -322,7 +329,7 @@ def sharded_full_search(
         cur[None], ref[None],
         mesh=mesh, blk_dim=blk_dim, span=span, metric=metric,
         frame_height=frame_height, frame_width=frame_width,
-        backend=backend, algorithm=algorithm,
+        backend=backend, algorithm=algorithm, early_term=early_term,
     )
     nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
     mv_y = res.mv_y[0, :nby, :nbx]

@@ -89,7 +89,7 @@ def _search_fn(config: SearchConfig, backend: str):
         def run(cur, ref):
             return diamond.diamond_search_frame(
                 cur, ref, blk_dim=config.blk_dim, span=config.span,
-                metric=config.metric,
+                metric=config.metric, early_term=config.early_term,
             )
     elif backend == "pallas" and config.metric in ("mse", "sad"):
         from motionestimation_tpu.kernels import full_search_pallas as ker
@@ -643,7 +643,7 @@ def run_gop_sharded(
             cur_b, ref_b,
             mesh=mesh, blk_dim=config.blk_dim, span=config.span,
             metric=config.metric, frame_height=h, frame_width=w,
-            algorithm=config.algorithm,
+            algorithm=config.algorithm, early_term=config.early_term,
         )
         mv_y = np.asarray(res.mv_y)[:, :nby, :nbx]
         mv_x = np.asarray(res.mv_x)[:, :nby, :nbx]

@@ -35,6 +35,40 @@ def test_epsilon_boundaries(tmp_path):
     assert {(r.column) for r in regs} == {"totalTime", "PSNR"}
 
 
+def test_matrix_gop_row_gated_transport_normalized():
+    """compare_rows (round-4 verdict item 6): a real ~20% pipeline
+    regression is flagged via the pct-of-link-bound row even under 2x
+    link drift, while drift alone (raw ms doubling, pct stable) is not."""
+    from motionestimation_tpu.bench.matrix import compare_rows
+
+    prev = {
+        "kernel-row": "10.0",
+        "gop-e2e: raw": "250.0",
+        "gop-e2e-pct: gated": "90.0",
+    }
+    # Link 2x slower AND pipeline 20% worse: raw ms 2.4x, pct -18 pts.
+    rows = [
+        ("kernel-row", 10.0),
+        ("gop-e2e: raw", 600.0),
+        ("gop-e2e-pct: gated", 72.0),
+    ]
+    lines, regs = compare_rows(rows, prev)
+    assert regs == 1
+    assert any(l.startswith("REGRESSION: gop-e2e-pct") for l in lines)
+    assert any(l.startswith("info: gop-e2e:") for l in lines)
+    # Pure link drift: raw ms doubles, pct wiggles within the band.
+    rows = [
+        ("kernel-row", 10.0),
+        ("gop-e2e: raw", 500.0),
+        ("gop-e2e-pct: gated", 86.0),
+    ]
+    lines, regs = compare_rows(rows, prev)
+    assert regs == 0
+    # Kernel rows keep the reference's absolute 0.1 ms rule.
+    lines, regs = compare_rows([("kernel-row", 10.11)], prev)
+    assert regs == 1
+
+
 def test_version_one_has_no_baseline(tmp_path):
     reg.write_results(tmp_path, 1, "[h]", [("S", (1, 1, 1, 1, 30.0))])
     assert reg.compare_versions(tmp_path, 1, ["S"]) == []

@@ -253,6 +253,49 @@ def test_sharded_diamond_matches_golden_np(ty, tx, h, w, blk, span, metric):
     )
 
 
+def test_sharded_diamond_early_term_matches_golden_np():
+    """early_term plumbed through sharded_motion_step: bit-exact vs
+    diamond_search_np with the same threshold, and different from the
+    no-threshold field (i.e. the flag demonstrably reaches the search)
+    — round-4 verdict item 2."""
+    from motionestimation_tpu.search import diamond
+
+    h, w, blk, span, early = 64, 96, 8, 7, 60.0
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 256, (h // 8 + 2, w // 8 + 2)).astype(np.float64)
+    ref = np.clip(
+        np.kron(small, np.ones((8, 8)))[:h, :w] + rng.normal(0, 2, (h, w)),
+        0, 255,
+    ).astype(np.uint8)
+    cur = np.clip(
+        np.roll(ref, (3, -4), (0, 1)).astype(np.int32)
+        + rng.integers(-6, 7, (h, w)),
+        0, 255,
+    ).astype(np.uint8)
+
+    mesh = make_mesh(1, 2, 2)
+    res = sharded_motion_step(
+        cur[None], ref[None], mesh=mesh, blk_dim=blk, span=span,
+        metric="mse", frame_height=h, frame_width=w,
+        algorithm="diamond", early_term=early,
+    )
+    g_mvy, g_mvx, g_cost, _ = diamond.diamond_search_np(
+        cur, ref, blk_dim=blk, span=span, metric="mse", early_term=early
+    )
+    nby, nbx = g_mvy.shape
+    np.testing.assert_array_equal(np.asarray(res.mv_y)[0, :nby, :nbx], g_mvy)
+    np.testing.assert_array_equal(np.asarray(res.mv_x)[0, :nby, :nbx], g_mvx)
+    np.testing.assert_array_equal(
+        np.asarray(res.best_cost)[0, :nby, :nbx], g_cost.astype(np.int64)
+    )
+    n_mvy, n_mvx, _, _ = diamond.diamond_search_np(
+        cur, ref, blk_dim=blk, span=span, metric="mse"
+    )
+    assert not (
+        np.array_equal(g_mvy, n_mvy) and np.array_equal(g_mvx, n_mvx)
+    ), "threshold chosen so early termination visibly changes the field"
+
+
 def test_sharded_diamond_trajectory_parity_tilewise():
     """diamond_search_tile trajectories (per shard, traced origins) equal
     the canonical numpy trajectories for that tile's blocks."""
