@@ -293,6 +293,35 @@ def main():
         ts.append((time.perf_counter() - t0) / BATCH)
     diamond_worst_ms = float(np.median(ts) * 1e3)
 
+    # Crossover policy (round-4 verdict item 3): same adversarial
+    # content with escape_policy="crossover" — escaped blocks take the
+    # fused full-search argmin instead of escalating staged volumes, so
+    # the worst case is ~level-1 + one fused search (flagged mode;
+    # escaped blocks return the global optimum, not the canonical
+    # diamond endpoint).
+    @jax.jit
+    def run_diamond_xover(curs, refs):
+        def one(cr):
+            f, _ = diamond._diamond_staged(
+                cr[0], cr[1], blk_dim=16, span=15,
+                early_term=None, max_steps=17, record_trajectory=False,
+                frame_height=hh, frame_width=ww,
+                escape_policy="crossover",
+            )
+            return (
+                jnp.sum(f.mv_y) + jnp.sum(f.mv_x) + jnp.sum(f.best_cost_i32)
+            )
+
+        return jnp.sum(jax.lax.map(one, (curs, refs)))
+
+    int(run_diamond_xover(wc, dr))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        int(run_diamond_xover(wc, dr))
+        ts.append((time.perf_counter() - t0) / BATCH)
+    diamond_xover_worst_ms = float(np.median(ts) * 1e3)
+
     # --- End-to-end pipelined GOP fps at 4K (run_gop steady state).
     # Steady state ships ONE new 8.29 MB frame per pair over the host
     # link (consecutive pairs share a frame; device arrays are cached),
@@ -465,6 +494,12 @@ def main():
                 "diamond_worstcase_1080p_ms": round(diamond_worst_ms, 3),
                 "diamond_worst_vs_full_search": round(
                     diamond_worst_ms / full_1080_ms, 2
+                ),
+                "diamond_crossover_worst_1080p_ms": round(
+                    diamond_xover_worst_ms, 3
+                ),
+                "diamond_crossover_worst_vs_full_search": round(
+                    diamond_xover_worst_ms / full_1080_ms, 2
                 ),
                 "blk32_span31_4k_ms": round(blk32_4k, 3),
                 "diamond_blk32_span31_4k_ms": round(diamond_blk32_4k, 3),

@@ -262,6 +262,25 @@ def run_matrix(version: int, results_dir: str = os.path.join(
         timed(diamond_one(16, 15, "mse", hh, ww), w_cur, w_ref, 64),
     )
 
+    # round-5: the crossover policy on the same adversarial content —
+    # escaped blocks route through the fused full-search argmin
+    # (escape_policy="crossover"), bounding the worst case near one
+    # fused search instead of the staged escalation chain.
+    def diamond_xover_one(cr):
+        f, _ = diamond._diamond_staged(
+            cr[0], cr[1], blk_dim=16, span=15, metric="mse",
+            early_term=None, max_steps=diamond.default_max_steps(15),
+            record_trajectory=False, frame_height=hh, frame_width=ww,
+            escape_policy="crossover",
+        )
+        return jnp.sum(f.mv_y) + jnp.sum(f.mv_x) + jnp.sum(f.best_cost_i32)
+
+    record(
+        "diamond-worstcase-crossover: adversarial 1080p, DIAMOND "
+        "escape_policy=crossover, blk 16, span 15",
+        timed(diamond_xover_one, w_cur, w_ref, 64),
+    )
+
     def diamond_fullvol_one(cr):
         f = diamond.diamond_search_frame(
             cr[0], cr[1], blk_dim=16, span=15, metric="mse",

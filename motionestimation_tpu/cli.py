@@ -49,6 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--algorithm", choices=("full", "diamond"), default="full"
     )
     p.add_argument(
+        "--escape-policy", choices=("canonical", "crossover"),
+        default="canonical",
+        help="diamond staged-escalation policy: 'canonical' keeps exact "
+        "diamond trajectories (adversarial worst case ~1.4x the full-"
+        "volume replay); 'crossover' routes escaped blocks through the "
+        "fused full-search argmin (adversarial cost ~ one fused search; "
+        "escaped blocks return the global optimum, a flagged deviation)",
+    )
+    p.add_argument(
         "--early-term", type=float, default=None, metavar="THRESH",
         help="diamond early-termination per-pixel cost threshold "
         "(BASELINE config 3): stop a block's search once its best mean "
@@ -112,6 +121,7 @@ def main(argv=None) -> int:
         metric=args.metric,
         algorithm=args.algorithm,
         early_term=args.early_term,
+        escape_policy=args.escape_policy,
         frame_width=args.frame_width,
         frame_height=args.frame_height,
     )

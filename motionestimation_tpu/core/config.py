@@ -32,6 +32,13 @@ class SearchConfig:
         the threshold (MSE/SAD <= early_term, SSIM >= early_term) stops
         searching immediately. None (default) disables. Diamond only —
         full search is exhaustive by definition.
+      escape_policy: diamond staged-escalation policy — "canonical"
+        (default; bit-exact vs the canonical diamond trajectories,
+        adversarial worst case <= 1.4x the full-volume replay) or
+        "crossover" (MSE/SAD: blocks escaping the first staged level
+        take the fused full-search argmin, bounding adversarial content
+        near one fused search; a flagged deviation for MV consumers —
+        see search.diamond._diamond_staged).
       frame_width / frame_height: luma plane dimensions.
     """
 
@@ -40,6 +47,7 @@ class SearchConfig:
     metric: str = "mse"
     algorithm: str = "full"
     early_term: float | None = None
+    escape_policy: str = "canonical"
     frame_width: int = 352
     frame_height: int = 288
 
@@ -60,6 +68,15 @@ class SearchConfig:
             raise ValueError(
                 "early_term only applies to algorithm='diamond' "
                 "(full search is exhaustive by definition)"
+            )
+        if self.escape_policy not in ("canonical", "crossover"):
+            raise ValueError(
+                f"escape_policy must be 'canonical' or 'crossover', "
+                f"got {self.escape_policy!r}"
+            )
+        if self.escape_policy != "canonical" and self.algorithm != "diamond":
+            raise ValueError(
+                "escape_policy only applies to algorithm='diamond'"
             )
         if self.frame_width < 1 or self.frame_height < 1:
             raise ValueError("frame dimensions must be positive")

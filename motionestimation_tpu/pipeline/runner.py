@@ -90,6 +90,7 @@ def _search_fn(config: SearchConfig, backend: str):
             return diamond.diamond_search_frame(
                 cur, ref, blk_dim=config.blk_dim, span=config.span,
                 metric=config.metric, early_term=config.early_term,
+                escape_policy=config.escape_policy,
             )
     elif backend == "pallas" and config.metric in ("mse", "sad"):
         from motionestimation_tpu.kernels import full_search_pallas as ker

@@ -255,3 +255,74 @@ def test_staged_ssim_equals_golden(h, w, blk, span, shift):
     np.testing.assert_array_equal(
         np.asarray(f.best_cost_i32), np.asarray(full.best_cost_i32)
     )
+
+
+class TestCrossoverPolicy:
+    """escape_policy="crossover" (round-4 verdict item 3): adversarial
+    escapes route through the fused full-search argmin."""
+
+    def test_no_escape_identical_to_canonical(self):
+        rng = np.random.default_rng(3)
+        # Noise-free non-wrapping shift (cropped windows of one larger
+        # plane): every block has an exact zero-cost match at (-1, +2),
+        # nothing escapes, so crossover must be bit-identical.
+        big = _smooth(rng, 72, 104)
+        ref = big[4:68, 4:100]
+        cur = big[3:67, 6:102]
+        f_c = diamond.diamond_search_frame(
+            cur, ref, blk_dim=8, span=15, escape_policy="crossover",
+        )
+        f_n = diamond.diamond_search_frame(cur, ref, blk_dim=8, span=15)
+        np.testing.assert_array_equal(np.asarray(f_c.mv_y), np.asarray(f_n.mv_y))
+        np.testing.assert_array_equal(np.asarray(f_c.mv_x), np.asarray(f_n.mv_x))
+        np.testing.assert_array_equal(
+            np.asarray(f_c.best_cost_i32), np.asarray(f_n.best_cost_i32)
+        )
+
+    def test_adversarial_escapes_take_full_search_optimum(self):
+        """Escaped blocks return the fused full-search result; blocks the
+        two policies agree on stay canonical; crossover never returns a
+        worse cost than canonical anywhere."""
+        from motionestimation_tpu.search import full_search as fs_mod
+
+        rng = np.random.default_rng(4)
+        cur, ref = _pair(rng, 64, 96, 13, -13)  # past level-1 escape radius
+        f_c = diamond.diamond_search_frame(
+            cur, ref, blk_dim=8, span=15, escape_policy="crossover",
+        )
+        f_n = diamond.diamond_search_frame(cur, ref, blk_dim=8, span=15)
+        full = fs_mod.full_search_frame(cur, ref, blk_dim=8, span=15)
+        cost_c = np.asarray(f_c.best_cost_i32)
+        cost_n = np.asarray(f_n.best_cost_i32)
+        cost_f = np.asarray(full.best_cost_i32)
+        assert (cost_c <= cost_n).all()
+        differs = (np.asarray(f_c.mv_y) != np.asarray(f_n.mv_y)) | (
+            np.asarray(f_c.mv_x) != np.asarray(f_n.mv_x)
+        )
+        assert differs.any(), "adversarial shift must actually escape"
+        np.testing.assert_array_equal(
+            np.asarray(f_c.mv_y)[differs], np.asarray(full.mv_y)[differs]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f_c.mv_x)[differs], np.asarray(full.mv_x)[differs]
+        )
+        np.testing.assert_array_equal(cost_c[differs], cost_f[differs])
+
+    def test_crossover_rejects_unsupported_modes(self):
+        rng = np.random.default_rng(5)
+        cur, ref = _pair(rng, 48, 64, 1, 1)
+        with pytest.raises(ValueError):
+            diamond.diamond_search_frame(
+                cur, ref, blk_dim=8, span=7, metric="ssim",
+                escape_policy="crossover",
+            )
+        with pytest.raises(ValueError):
+            diamond.diamond_search_frame(
+                cur, ref, blk_dim=8, span=15, escape_policy="crossover",
+                volume_mode="lazy",
+            )
+        with pytest.raises(ValueError):
+            diamond.diamond_search_frame(
+                cur, ref, blk_dim=8, span=15, escape_policy="crossover",
+                record_trajectory=True,
+            )
