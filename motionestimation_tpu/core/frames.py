@@ -71,6 +71,34 @@ def load_yuv_into(path: str | os.PathLike, out: np.ndarray) -> np.ndarray:
     return out
 
 
+def load_yuv_rows(
+    path: str | os.PathLike, height: int, width: int, row_lo: int, row_hi: int
+) -> np.ndarray:
+    """Read only rows [row_lo, row_hi) of a [height, width] luma plane.
+
+    Multi-host sharded ingest (SURVEY.md §2 distributed row): each host
+    reads just the frame rows its mesh rows own
+    (`parallel.ingest.local_row_range`), so a 4K GOP's disk traffic
+    scales down with the host count instead of replicating. Rows are
+    contiguous bytes, so this is one seek + one read."""
+    if not (0 <= row_lo <= row_hi <= height):
+        raise ValueError(
+            f"row range [{row_lo}, {row_hi}) outside [0, {height}]"
+        )
+    n = (row_hi - row_lo) * width
+    if n == 0:
+        return np.empty((0, width), np.uint8)
+    with open(path, "rb") as f:
+        f.seek(row_lo * width)
+        raw = f.read(n)
+    if len(raw) < n:
+        raise IOError(
+            f"{path}: expected {n} bytes for rows [{row_lo}, {row_hi}) of "
+            f"{width}x{height} luma, got {len(raw)}"
+        )
+    return np.frombuffer(raw, dtype=np.uint8, count=n).reshape(-1, width)
+
+
 def save_yuv(path: str | os.PathLike, frame: np.ndarray) -> None:
     """Write an integer frame as raw u8 bytes (C-cast narrowing, utils.c:57)."""
     data = np.asarray(frame)

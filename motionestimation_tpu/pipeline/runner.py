@@ -588,6 +588,14 @@ def run_gop_sharded(
     while the current one computes. Dumps the same `mv_%05d.npz`
     checkpoints as the single-device path, so runs are resumable and the
     two paths are drop-in interchangeable.
+
+    Multi-host (jax.distributed initialised, process_count > 1): every
+    process reads ONLY its own frame rows from disk
+    (`ingest.local_row_range` + `frames.load_yuv_rows`) and contributes
+    them via `make_array_from_process_local_data`; results are
+    process_allgather'd and process 0 writes the dumps. Resume requires
+    every process to see the same dump directory state — pass
+    resume=False unless output_dir is on a shared filesystem.
     """
     from motionestimation_tpu.parallel import ingest
     from motionestimation_tpu.parallel.sharded import (
@@ -595,7 +603,10 @@ def run_gop_sharded(
         sharded_motion_step,
     )
 
-    os.makedirs(output_dir, exist_ok=True)
+    multi = jax.process_count() > 1
+    is_lead = jax.process_index() == 0
+    if is_lead:
+        os.makedirs(output_dir, exist_ok=True)
     h, w = config.frame_height, config.frame_width
     paths = [os.fspath(p) for p in frame_paths]
     if len(paths) < 2:
@@ -613,30 +624,44 @@ def run_gop_sharded(
     hp, wp = padded_dims_for_mesh(h, w, config.blk_dim, mesh)
     chunks = [todo[i : i + dp] for i in range(0, len(todo), dp)]
 
+    # Rows of the padded frame this process must provide (whole frame on
+    # a single process).
+    row_lo, row_hi = ingest.local_row_range(mesh, hp)
+
     frames_cache: dict[int, np.ndarray] = {}
 
-    def frame(i):
+    def frame_local(i):
+        """This process's padded rows [row_lo, row_hi) of frame i."""
         if i not in frames_cache:
-            frames_cache[i] = frames_lib.load_yuv(paths[i], h, w)
+            r0, r1 = min(row_lo, h), min(row_hi, h)
+            rows = frames_lib.load_yuv_rows(paths[i], h, w, r0, r1)
+            # Padding rows (beyond the true frame height) sit at the
+            # bottom of the global padded frame, so any missing rows of
+            # this process's range pad below the read rows.
+            frames_cache[i] = np.pad(
+                rows.astype(np.int32),
+                ((0, (row_hi - row_lo) - (r1 - r0)), (0, wp - w)),
+            )
         return frames_cache[i]
 
     def host_batches(which):
         for chunk in chunks:
             idxs = chunk + [chunk[-1]] * (dp - len(chunk))  # pad batch
             sel = [i + 1 for i in idxs] if which == "cur" else idxs
-            batch = np.stack(
-                [
-                    np.pad(
-                        frame(i).astype(np.int32),
-                        ((0, hp - h), (0, wp - w)),
-                    )
-                    for i in sel
-                ]
-            )
-            yield batch
+            yield np.stack([frame_local(i) for i in sel])
 
     cur_stream = ingest.ShardedPrefetcher(host_batches("cur"), mesh)
     ref_stream = ingest.ShardedPrefetcher(host_batches("ref"), mesh)
+
+    if multi:
+        from jax.experimental import multihost_utils
+
+        def fetch(x):
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)
+            )
+    else:
+        fetch = np.asarray
 
     nby, nbx = geometry.grid_shape(h, w, config.blk_dim)
     for chunk, cur_b, ref_b in zip(chunks, cur_stream, ref_stream):
@@ -646,16 +671,18 @@ def run_gop_sharded(
             metric=config.metric, frame_height=h, frame_width=w,
             algorithm=config.algorithm, early_term=config.early_term,
         )
-        mv_y = np.asarray(res.mv_y)[:, :nby, :nbx]
-        mv_x = np.asarray(res.mv_x)[:, :nby, :nbx]
-        cost = np.asarray(res.best_cost)[:, :nby, :nbx]
+        mv_y = fetch(res.mv_y)[:, :nby, :nbx]
+        mv_x = fetch(res.mv_x)[:, :nby, :nbx]
+        cost = fetch(res.best_cost)[:, :nby, :nbx]
         # PSNR from the psum'd exact device stats (Σerr² as two int32
         # halves, observed max) — bit-identical to image_psnr(comp, cur)
         # without fetching the [B, Hp, Wp] compensated frames D2H.
-        sq_hi = np.asarray(res.sum_sq_hi)
-        sq_lo = np.asarray(res.sum_sq_lo)
-        fmax = np.asarray(res.frame_max)
+        sq_hi = fetch(res.sum_sq_hi)
+        sq_lo = fetch(res.sum_sq_lo)
+        fmax = fetch(res.frame_max)
         for slot, i in enumerate(chunk):
+            if not is_lead:
+                continue
             psnr = frames_lib.psnr_from_stats(
                 (int(sq_hi[slot]) << 15) + int(sq_lo[slot]),
                 h * w,

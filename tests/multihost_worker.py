@@ -6,9 +6,12 @@ processes. Every process reads ONLY its own frame rows
 (`ingest.local_row_range`), contributes them via
 `jax.make_array_from_process_local_data`, and runs the full sharded
 motion step (halo exchange crosses the process boundary over the
-distributed CPU backend — the DCN stand-in). Process 0's golden check:
-the all-gathered MVs/costs must equal the single-device golden search,
-and the stats-PSNR must equal host image_psnr.
+distributed CPU backend — the DCN stand-in). Golden checks: the
+all-gathered MVs/costs must equal the single-device golden search
+(full search AND diamond AND SSIM — round-4 verdict item 4), the
+stats-PSNR must equal host image_psnr, and a `run_gop_sharded` GOP
+with per-process `local_row_range` disk ingest must dump the same MVs
+as the golden per-pair search.
 
 Usage: python multihost_worker.py <pid> <nproc> <port>
 """
@@ -110,5 +113,110 @@ for h, w, blk, span in [(64, 64, 8, 4), (60, 52, 8, 5)]:
         int(np.asarray(res.frame_max)[0]),
     )
     assert got_psnr == want_psnr, (got_psnr, want_psnr)
+
+    # Diamond across the process boundary (round-4 verdict item 4):
+    # the per-shard staged diamond must equal the canonical numpy
+    # trajectories with the halo crossing processes.
+    from motionestimation_tpu.search import diamond  # noqa: E402
+
+    res_d = sharded_motion_step(
+        cur_g, ref_g,
+        mesh=mesh, blk_dim=blk, span=span, metric="mse",
+        frame_height=h, frame_width=w, algorithm="diamond",
+    )
+    d_mvy = np.asarray(
+        multihost_utils.process_allgather(res_d.mv_y, tiled=True)
+    )
+    d_mvx = np.asarray(
+        multihost_utils.process_allgather(res_d.mv_x, tiled=True)
+    )
+    d_cost = np.asarray(
+        multihost_utils.process_allgather(res_d.best_cost, tiled=True)
+    )
+    g_mvy, g_mvx, g_cost, _ = diamond.diamond_search_np(
+        cur, ref, blk_dim=blk, span=span, metric="mse"
+    )
+    np.testing.assert_array_equal(d_mvy[0, :nby, :nbx], g_mvy)
+    np.testing.assert_array_equal(d_mvx[0, :nby, :nbx], g_mvx)
+    np.testing.assert_array_equal(
+        d_cost[0, :nby, :nbx], g_cost.astype(np.int64)
+    )
+
+    # SSIM across the process boundary: MVs equal the golden SSIM
+    # search (scores are float; MV equality is the bit-exact contract).
+    res_s = sharded_motion_step(
+        cur_g, ref_g,
+        mesh=mesh, blk_dim=blk, span=span, metric="ssim",
+        frame_height=h, frame_width=w,
+    )
+    s_mvy = np.asarray(
+        multihost_utils.process_allgather(res_s.mv_y, tiled=True)
+    )
+    s_mvx = np.asarray(
+        multihost_utils.process_allgather(res_s.mv_x, tiled=True)
+    )
+    golden_s = fs.full_search_frame(
+        cur, ref, blk_dim=blk, span=span, metric="ssim"
+    )
+    np.testing.assert_array_equal(s_mvy[0, :nby, :nbx], golden_s.mv_y)
+    np.testing.assert_array_equal(s_mvx[0, :nby, :nbx], golden_s.mv_x)
+
+# --- run_gop_sharded with per-process local_row_range disk ingest
+# (round-4 verdict item 4): each process holds its own copy of the
+# input frames (the multi-host norm) and reads only its rows; process
+# 0 writes the dumps and checks them against the golden per-pair
+# search.
+import tempfile  # noqa: E402
+
+from motionestimation_tpu.core.config import SearchConfig  # noqa: E402
+from motionestimation_tpu.pipeline import runner  # noqa: E402
+
+h, w, blk, span = 64, 64, 8, 4
+rng = np.random.default_rng(1234)
+gop = [rng.integers(0, 256, (h, w), dtype=np.uint8)]
+for _ in range(2):
+    gop.append(
+        np.clip(
+            np.roll(gop[-1], (1, -2), (0, 1)).astype(np.int32)
+            + rng.integers(-3, 4, (h, w)),
+            0, 255,
+        ).astype(np.uint8)
+    )
+td = tempfile.mkdtemp(prefix=f"mh_gop_p{pid}_")
+paths = []
+for i, f in enumerate(gop):
+    p = os.path.join(td, f"f{i}.yuv")
+    frames_lib.save_yuv(p, f)
+    paths.append(p)
+outdir = os.path.join(td, "out")
+config = SearchConfig(
+    blk_dim=blk, span=span, metric="mse", frame_width=w, frame_height=h
+)
+dumps = runner.run_gop_sharded(
+    paths, config, mesh=mesh, output_dir=outdir, resume=False
+)
+if pid == 0:
+    for i in range(2):
+        z = np.load(dumps[i])
+        golden = fs.full_search_frame(
+            gop[i + 1], gop[i], blk_dim=blk, span=span
+        )
+        np.testing.assert_array_equal(z["mv_y"], np.asarray(golden.mv_y))
+        np.testing.assert_array_equal(z["mv_x"], np.asarray(golden.mv_x))
+        np.testing.assert_array_equal(
+            z["best_cost"], np.asarray(golden.best_cost_i32)
+        )
+        want = frames_lib.image_psnr(
+            np.asarray(
+                fs.compensate_frame(
+                    gop[i], golden, frame_height=h, frame_width=w,
+                    blk_dim=blk, span=span,
+                )
+            ),
+            gop[i + 1].astype(np.int32),
+        )
+        assert float(z["psnr"]) == want, (float(z["psnr"]), want)
+else:
+    assert not os.path.exists(outdir) or not os.listdir(outdir)
 
 print(f"MULTIHOST_OK pid={pid}", flush=True)
