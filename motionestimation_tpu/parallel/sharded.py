@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -307,6 +308,122 @@ def sharded_motion_step(
         jnp.where(in_frame, jnp.maximum(comp, cur_p), 0), axis=(1, 2)
     )
     return ShardedStepResult(mv_y, mv_x, cost, comp, sq_hi, sq_lo, fmax)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "blk_dim", "span", "metric",
+                     "frame_height", "frame_width", "backend"),
+)
+def sharded_gop_pipelined(
+    frames,
+    *,
+    mesh: Mesh,
+    blk_dim: int,
+    span: int,
+    metric: str = "mse",
+    frame_height: int,
+    frame_width: int,
+    backend: str = "auto",
+):
+    """Software-pipelined GOP search over a spatial mesh: ONE jitted
+    program scanning consecutive pairs of a [P+1, H, W] frame stack,
+    scheduled so pair i+1's halo exchange is independent of pair i's
+    search (round-4 verdict item 7 — the cross-pair overlap schedule
+    modeled in `parallel.scaling.spatial_gop_overlap_efficiency`).
+
+    The scan carries the *already-exchanged* reference halo: step i
+    searches pair (cur=frames[i+1], ref=frames[i]) against the carried
+    halo and exchanges frames[i+1]'s halo for the next step. Inside one
+    step the ppermute chain and the search kernel have no data
+    dependency, which is exactly the shape XLA's async collectives
+    overlap — no interior/border search split, hence none of the
+    measured 135x border-slab recompute loss that rules out intra-pair
+    overlap (scaling.py docstring).
+
+    Search-only (the schedule's compute term): returns (mv_y, mv_x,
+    cost) stacked [P, nby_p, nbx_p] sharded over ("ty", "tx"), padded
+    block grid (callers slice [:nby, :nbx]). Bit-exact vs running
+    `sharded_motion_step` per pair — asserted on the virtual mesh by
+    tests/test_sharded.py. Truncated global edges (frame dims not
+    block multiples) require backend="golden", which handles them
+    natively; the Pallas tile kernel assumes whole blocks.
+    """
+    backend = _resolve_backend(backend, blk_dim, span, metric)
+    ty = mesh.shape["ty"]
+    tx = mesh.shape["tx"]
+    hp, wp = padded_dims_for_mesh(frame_height, frame_width, blk_dim, mesh)
+    if backend == "pallas" and (
+        frame_height % blk_dim or frame_width % blk_dim
+    ):
+        raise ValueError(
+            "sharded_gop_pipelined backend='pallas' requires frame dims "
+            "to be block multiples (use backend='golden' for truncated "
+            "edges)"
+        )
+    frames_p = jnp.pad(
+        frames.astype(jnp.int32),
+        ((0, 0), (0, hp - frame_height), (0, wp - frame_width)),
+    )
+    tile_h, tile_w = hp // ty, wp // tx
+    interpret = mesh.devices.flat[0].platform != "tpu"
+
+    def step(frames_l):
+        # frames_l: [P+1, tile_h, tile_w] local shard stack.
+        iy = jax.lax.axis_index("ty")
+        ix = jax.lax.axis_index("tx")
+        y0 = iy * tile_h
+        x0 = ix * tile_w
+
+        def exchange(t):
+            return halo_lib.halo_exchange_2d(t, span, ty_size=ty, tx_size=tx)
+
+        def search(cur_t, ref_halo):
+            if backend == "pallas" and metric == "ssim":
+                cost, idx = ssim_kp.ssim_search_tile_pallas(
+                    cur_t, ref_halo, y0, x0,
+                    frame_height=frame_height, frame_width=frame_width,
+                    blk_dim=blk_dim, span=span, interpret=interpret,
+                )
+                mv_y, mv_x = geometry.mv_from_flat_index(idx, span)
+            elif backend == "pallas":
+                cost, idx = kp.full_search_tile_pallas(
+                    cur_t, ref_halo, y0, x0,
+                    frame_height=frame_height, frame_width=frame_width,
+                    blk_dim=blk_dim, span=span, metric=metric,
+                    interpret=interpret,
+                )
+                mv_y, mv_x = geometry.mv_from_flat_index(idx, span)
+            else:
+                f = fs.full_search_tile(
+                    cur_t, ref_halo, y0, x0,
+                    frame_height=frame_height, frame_width=frame_width,
+                    blk_dim=blk_dim, span=span, metric=metric,
+                )
+                mv_y, mv_x = f.mv_y, f.mv_x
+                cost = f.score if metric == "ssim" else f.best_cost_i32
+            return mv_y, mv_x, cost
+
+        def body(ref_halo, cur_t):
+            # The exchange below consumes only cur_t (the NEXT pair's
+            # reference) while the search consumes the carried halo —
+            # independent subgraphs XLA may schedule concurrently.
+            next_halo = exchange(cur_t)
+            out = search(cur_t, ref_halo)
+            return next_halo, out
+
+        halo0 = exchange(frames_l[0])
+        _, outs = lax.scan(body, halo0, frames_l[1:])
+        return outs
+
+    spec_stack = P(None, "ty", "tx")
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(spec_stack,),
+        out_specs=(spec_stack,) * 3,
+        check_vma=False,
+    )(frames_p)
 
 
 def sharded_full_search(

@@ -47,6 +47,10 @@ def main():
         frame_height=2160, frame_width=3840, blk_dim=8, span=12,
         meshes=meshes, measured_mblocks_per_s=headline,
     )
+    overlap = scaling.spatial_gop_overlap_efficiency(
+        frame_height=2160, frame_width=3840, blk_dim=8, span=12,
+        meshes=meshes, measured_mblocks_per_s=headline,
+    )
     base = scaling.model_step(
         frame_height=2160, frame_width=3840, blk_dim=8, span=12,
         ty=2, tx=4, measured_mblocks_per_s=headline,
@@ -101,11 +105,27 @@ def main():
         )
         for n in hosts:
             f.write(f"hosts {n:3d}  efficiency {gop_n[n]:.4f}\n")
-        f.write("[ spatial tiling, 4K 8x8 +-12 ]\n")
+        f.write("[ spatial tiling, 4K 8x8 +-12, single pair ]\n")
         for (ty, tx) in meshes:
             n = ty * tx
             f.write(
                 f"chips {n:3d} ({ty}x{tx})  efficiency {spatial[n]:.4f}\n"
+            )
+        f.write(
+            "[ spatial tiling, 4K 8x8 +-12, GOP with cross-pair halo "
+            "overlap ]\n"
+            "# Pair i+1's halo exchange has no dependency on pair i's "
+            "search, so a pipelined GOP schedule\n"
+            "# (async collectives inside one scanned program) pays "
+            "max(compute, halo) + stats per pair —\n"
+            "# no border recompute, so the measured 135x no-overlap "
+            "argument does not apply across pairs\n"
+            "# (parallel/scaling.py:spatial_gop_overlap_efficiency).\n"
+        )
+        for (ty, tx) in meshes:
+            n = ty * tx
+            f.write(
+                f"chips {n:3d} ({ty}x{tx})  efficiency {overlap[n]:.4f}\n"
             )
     print(f"wrote {out}")
     with open(out) as f:
