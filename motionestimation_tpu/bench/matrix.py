@@ -347,6 +347,24 @@ def run_matrix(version: int, results_dir: str = os.path.join(
         timed(ssim_one, j_cur, j_ref, 16),
     )
 
+    # round-5: the SSIM blk-32 cell (BASELINE config 4 x SSIM) — served
+    # by the exact per-pixel kernel: the fast kernel's f32 box-sum
+    # pyramids are exact only while block sums fit the 24-bit f32
+    # mantissa (blk 16: 16²·255² = 1.66e7 < 2²⁴; blk 32: 6.7e7 > 2²⁴),
+    # so blk 32 runs the int32 per-pixel path. Measured justification
+    # for not extending the fast kernel: docs/SPEED_OF_LIGHT.md.
+    def ssim32_one(cr):
+        f = ssim_search_frame_pallas(
+            cr[0], cr[1], blk_dim=32, span=7, interpret=interpret,
+        )
+        return jnp.sum(f.mv_y) + jnp.sum(f.mv_x)
+
+    record(
+        "ssim-blk32: synthetic-Jockey 4K, SSIM, blk 32, span 7 "
+        "(exact per-pixel path)",
+        timed(ssim32_one, j_cur, j_ref, 4),
+    )
+
     # round-4: end-to-end pipelined GOP (8 pairs, one chunk dispatch).
     # round-5: the gated quantity is pct-of-link-bound — the link probe
     # brackets the timed run exactly like bench.py, so the row is
