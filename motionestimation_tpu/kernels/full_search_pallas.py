@@ -1778,6 +1778,21 @@ def full_search_volume_tile_pallas(
     return jnp.concatenate(vol_panels, axis=2)[:, :, : tw // blk_dim]
 
 
+def volume_supported(blk_dim: int, span: int, metric: str) -> bool:
+    """Whether `full_search_volume_pallas` covers this config: MSE/SAD
+    with span >= 1 (the emit drain loop needs >= 2 DMA slots), at
+    blk <= 16 (chunked emit family) or any phase-kernel config (blk 32
+    via the int32 sliding-sum fold). The single source of truth for
+    volume coverage — `search.diamond.staged_supported` and this
+    module's own validation both call it, so extending the kernels'
+    coverage cannot desynchronize the two."""
+    return (
+        metric in ("mse", "sad")
+        and span >= 1
+        and (blk_dim <= 16 or _phase_supported(blk_dim, span, metric))
+    )
+
+
 def full_search_volume_pallas(
     cur,
     ref,
@@ -1804,20 +1819,13 @@ def full_search_volume_pallas(
     window evaluation is gather-bound, so diamond replays its trajectory
     over this volume.
     """
-    if metric not in ("mse", "sad"):
+    if not volume_supported(blk_dim, span, metric):
         raise ValueError(
-            f"full_search_volume_pallas supports metric 'mse' or 'sad', "
-            f"got {metric!r}"
+            f"full_search_volume_pallas: unsupported config blk_dim="
+            f"{blk_dim} span={span} metric={metric!r} (needs MSE/SAD, "
+            f"span >= 1, and blk_dim <= 16 or a phase-kernel config — "
+            f"see volume_supported)"
         )
-    if not (blk_dim <= 16 or _phase_supported(blk_dim, span, metric)):
-        raise ValueError(
-            f"full_search_volume_pallas: unsupported blk_dim={blk_dim} "
-            f"(needs blk_dim <= 16 or a phase-kernel config)"
-        )
-    if span < 1:
-        # The emit_volume drain loop assumes k >= 2 DMA slots (it waits on
-        # slot (k-2) % 2); span 0 is a degenerate 1-candidate "search".
-        raise ValueError("full_search_volume_pallas requires span >= 1")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _full_search_volume_jit(

@@ -782,7 +782,18 @@ def diamond_search_frame(
             frame_height=frame_height, frame_width=frame_width,
         )
     elif volume_mode == "full":
-        if staged_supported(blk_dim, span, metric) and span >= 1:
+        from motionestimation_tpu.kernels import full_search_pallas as _ker
+        from motionestimation_tpu.kernels import ssim_pallas as _sker
+
+        # Gate on the volume kernels' OWN coverage (not the staged-path
+        # predicate, which additionally requires span >= 2): span-1
+        # MSE/SAD configs take the fast Pallas volume too.
+        fast_volume = (
+            _sker.ssim_supported(blk_dim, span)
+            if metric == "ssim"
+            else _ker.volume_supported(blk_dim, span, metric)
+        )
+        if fast_volume:
             # Fast Pallas cost volume (bit-exact vs the golden tile's).
             if metric == "ssim":
                 from motionestimation_tpu.kernels import ssim_pallas as sker
@@ -837,10 +848,7 @@ def staged_supported(blk_dim: int, span: int, metric: str) -> bool:
         return False
     if metric == "ssim":
         return ssim_ker.ssim_supported(blk_dim, span)
-    return (
-        metric in ("mse", "sad")
-        and (blk_dim <= 16 or ker._phase_supported(blk_dim, span, metric))
-    )
+    return ker.volume_supported(blk_dim, span, metric)
 
 
 def _staged_levels(span: int) -> tuple[int, ...]:

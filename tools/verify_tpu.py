@@ -389,6 +389,139 @@ def main() -> int:
     failures += 0 if ok else 1
     extra += 1
 
+    # --- Round-5: GOP path on REAL hardware (round-4 verdict item 8) —
+    # the packed uint32 cost+MV readback, chunk tail padding, and
+    # resume-hole dispatch have only ever executed on hardware inside
+    # timed benches; assert their decode against run_pair on the chip.
+    import tempfile
+
+    from motionestimation_tpu.core.config import SearchConfig
+    from motionestimation_tpu.pipeline import runner
+
+    with tempfile.TemporaryDirectory() as td:
+        gop_paths = [
+            os.path.join(REF_FRAMES, n)
+            for n in ("ForemanYF1.yuv", "ForemanYF2.yuv", "ForemanYF4.yuv")
+        ]
+        config = SearchConfig(
+            blk_dim=8, span=12, metric="mse",
+            frame_width=352, frame_height=288,
+        )
+        # Punch a resume hole: pre-dump pair 0 with sentinel data and
+        # assert it is skipped while pair 1 computes through the packed
+        # path (chunk pads 1 real pair to the 8-pair program shape).
+        np.savez(
+            os.path.join(td, "mv_00000.npz"), mv_y=np.int32(-77)
+        )
+        dumps = runner.run_gop(
+            gop_paths, config, output_dir=td, resume=True
+        )
+        hole = np.load(dumps[0])
+        pair = runner.run_pair(
+            _frame(REF_FRAMES, "ForemanYF4.yuv", 288, 352),
+            _frame(REF_FRAMES, "ForemanYF2.yuv", 288, 352),
+            config,
+        )
+        z = np.load(dumps[1])
+        ok = (
+            int(hole["mv_y"]) == -77  # resume skipped the hole
+            and np.array_equal(z["mv_y"], pair.field.mv_y)
+            and np.array_equal(z["mv_x"], pair.field.mv_x)
+            and np.array_equal(
+                z["best_cost"].astype(np.int64),
+                np.asarray(pair.field.best_cost_i32).astype(np.int64),
+            )
+            and float(z["psnr"]) == pair.psnr
+        )
+        print(f"{'OK  ' if ok else 'FAIL'} gop_packed_readback "
+              f"(run_gop uint32 decode + resume hole vs run_pair, on "
+              f"hardware)")
+        failures += 0 if ok else 1
+        extra += 1
+
+    # Early termination through the staged path on hardware (round-4
+    # verdict item 2): per-pixel float32 threshold compares must match
+    # the numpy model's on the chip's f32 units.
+    et_field, et_traj = diamond.diamond_search_frame(
+        dcur, dref, blk_dim=8, span=7, metric="mse", early_term=40.0,
+        record_trajectory=True, volume_mode="staged",
+    )
+    e_mvy, e_mvx, e_cost, e_traj = diamond.diamond_search_np(
+        dcur, dref, blk_dim=8, span=7, metric="mse", early_term=40.0
+    )
+    ok = (
+        np.array_equal(np.asarray(et_field.mv_y), e_mvy)
+        and np.array_equal(np.asarray(et_field.mv_x), e_mvx)
+        and np.array_equal(
+            np.asarray(et_field.best_cost_i32).astype(np.int64),
+            e_cost.astype(np.int64),
+        )
+        and np.array_equal(np.asarray(et_traj), e_traj)
+    )
+    print(f"{'OK  ' if ok else 'FAIL'} diamond_early_term_8_7 "
+          f"(staged early termination on hardware vs diamond_search_np)")
+    failures += 0 if ok else 1
+    extra += 1
+
+    # Crossover policy on hardware (round-5): blocks that differ from
+    # the canonical diamond must carry the fused full-search optimum.
+    x_field = diamond.diamond_search_frame(
+        dcur, dref, blk_dim=8, span=7, metric="mse",
+        escape_policy="crossover",
+    )
+    c_mvy, c_mvx, c_cost, _ = diamond.diamond_search_np(
+        dcur, dref, blk_dim=8, span=7, metric="mse"
+    )
+    f_mvy, f_mvx, f_cost, _ = rm.full_search_mse(dcur, dref, 8, 7)
+    x_mvy = np.asarray(x_field.mv_y)
+    x_mvx = np.asarray(x_field.mv_x)
+    x_cost = np.asarray(x_field.best_cost_i32).astype(np.int64)
+    differs = (x_mvy != c_mvy) | (x_mvx != c_mvx)
+    same = ~differs
+    ok = (
+        (x_cost <= c_cost.astype(np.int64)).all()
+        and np.array_equal(x_mvy[differs], f_mvy[differs])
+        and np.array_equal(x_mvx[differs], f_mvx[differs])
+        and np.array_equal(x_cost[differs], f_cost[differs])
+        and np.array_equal(x_cost[same], c_cost.astype(np.int64)[same])
+    )
+    print(f"{'OK  ' if ok else 'FAIL'} diamond_crossover_8_7 "
+          f"(crossover policy on hardware: escaped blocks == fused full "
+          f"search, rest canonical)")
+    failures += 0 if ok else 1
+    extra += 1
+
+    # Cross-pair-overlap scanned GOP program on the 1-chip mesh
+    # (round-5): the pipelined schedule's only hardware execution.
+    from motionestimation_tpu.parallel.sharded import sharded_gop_pipelined
+
+    stack = np.stack([
+        _frame(REF_FRAMES, "ForemanYF1.yuv", 288, 352),
+        _frame(REF_FRAMES, "ForemanYF2.yuv", 288, 352),
+        _frame(REF_FRAMES, "ForemanYF4.yuv", 288, 352),
+    ])
+    pmy, pmx, pcost = sharded_gop_pipelined(
+        stack, mesh=mesh, blk_dim=8, span=12, metric="mse",
+        frame_height=288, frame_width=352, backend="pallas",
+    )
+    ok = True
+    for i in range(2):
+        o_mvy, o_mvx, o_cost, _ = rm.full_search_mse(
+            stack[i + 1], stack[i], 8, 12
+        )
+        gy, gx = o_mvy.shape
+        ok = ok and (
+            np.array_equal(np.asarray(pmy)[i, :gy, :gx], o_mvy)
+            and np.array_equal(np.asarray(pmx)[i, :gy, :gx], o_mvx)
+            and np.array_equal(
+                np.asarray(pcost)[i, :gy, :gx].astype(np.int64), o_cost
+            )
+        )
+    print(f"{'OK  ' if ok else 'FAIL'} sharded_gop_pipelined_8_12 "
+          f"(cross-pair-overlap scan program on hardware vs oracle)")
+    failures += 0 if ok else 1
+    extra += 1
+
     total = len(cases) + extra
     print(f"{total - failures}/{total} cases bit-exact "
           f"on backend={backend}")
