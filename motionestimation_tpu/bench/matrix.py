@@ -375,11 +375,15 @@ def run_matrix(version: int, results_dir: str = os.path.join(
         int(sum(jnp.sum(d[0], dtype=jnp.int32) for d in ds))
         return time.perf_counter() - t0
 
+    # 16 pairs (two 8-pair chunks) so the pipeline's fill/drain ramp is
+    # a minority of the wall, and best-of-2 runs — the same one-sided-
+    # noise stance as the kernel rows (the link's drift only ever slows
+    # a run down).
     with tempfile.TemporaryDirectory() as td:
         paths = []
         gop_frames = [j_ref]
         prev = j_ref
-        for i in range(9):
+        for i in range(17):
             f = np.clip(
                 np.roll(prev, (1, -2), (0, 1)).astype(np.int32)
                 + rng.integers(-3, 4, prev.shape),
@@ -399,9 +403,14 @@ def run_matrix(version: int, results_dir: str = os.path.join(
         probe_pass(gop_frames[:2])  # warm the tiny sum programs
         frame_mb = 2160 * 3840 / 1e6
         rates = [len(gop_frames[1:]) * frame_mb / probe_pass(gop_frames[1:])]
-        t0 = time.perf_counter()
-        runner.run_gop(paths, config, output_dir=outdir, resume=False)
-        gop_ms = (time.perf_counter() - t0) / (len(paths) - 1) * 1e3
+        gop_ms = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            runner.run_gop(paths, config, output_dir=outdir, resume=False)
+            gop_ms = min(
+                gop_ms,
+                (time.perf_counter() - t0) / (len(paths) - 1) * 1e3,
+            )
         post = np.stack(
             [rng.integers(0, 256, prev.shape, dtype=np.uint8)
              for _ in range(len(paths) - 1)]

@@ -341,13 +341,17 @@ def sharded_gop_pipelined(
     measured 135x border-slab recompute loss that rules out intra-pair
     overlap (scaling.py docstring).
 
-    Search-only (the schedule's compute term): returns (mv_y, mv_x,
-    cost) stacked [P, nby_p, nbx_p] sharded over ("ty", "tx"), padded
-    block grid (callers slice [:nby, :nbx]). Bit-exact vs running
-    `sharded_motion_step` per pair — asserted on the virtual mesh by
-    tests/test_sharded.py. Truncated global edges (frame dims not
-    block multiples) require backend="golden", which handles them
-    natively; the Pallas tile kernel assumes whole blocks.
+    Returns (mv_y, mv_x, cost, sum_sq_hi, sum_sq_lo, frame_max): the
+    MV/cost planes stacked [P, nby_p, nbx_p] sharded over ("ty", "tx")
+    on the padded block grid (callers slice [:nby, :nbx]), plus the
+    per-pair psum'd exact residual statistics ([P] each, same int32
+    hi/lo encoding as ShardedStepResult — compensation happens per
+    tile inside the scan, so the full compensated stack never
+    materialises in HBM). Bit-exact vs running `sharded_motion_step`
+    per pair — asserted on the virtual mesh by tests/test_sharded.py.
+    Truncated global edges (frame dims not block multiples) require
+    backend="golden", which handles them natively; the Pallas tile
+    kernel assumes whole blocks.
     """
     backend = _resolve_backend(backend, blk_dim, span, metric)
     ty = mesh.shape["ty"]
@@ -361,10 +365,13 @@ def sharded_gop_pipelined(
             "to be block multiples (use backend='golden' for truncated "
             "edges)"
         )
-    frames_p = jnp.pad(
-        frames.astype(jnp.int32),
-        ((0, 0), (0, hp - frame_height), (0, wp - frame_width)),
-    )
+    if tuple(frames.shape[1:]) == (hp, wp):
+        frames_p = frames.astype(jnp.int32)  # caller pre-padded (GOP path)
+    else:
+        frames_p = jnp.pad(
+            frames.astype(jnp.int32),
+            ((0, 0), (0, hp - frame_height), (0, wp - frame_width)),
+        )
     tile_h, tile_w = hp // ty, wp // tx
     interpret = mesh.devices.flat[0].platform != "tpu"
 
@@ -404,24 +411,44 @@ def sharded_gop_pipelined(
                 cost = f.score if metric == "ssim" else f.best_cost_i32
             return mv_y, mv_x, cost
 
+        yy = y0 + lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0)
+        xx = x0 + lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
+        in_frame = (yy < frame_height) & (xx < frame_width)
+
         def body(ref_halo, cur_t):
             # The exchange below consumes only cur_t (the NEXT pair's
             # reference) while the search consumes the carried halo —
             # independent subgraphs XLA may schedule concurrently.
             next_halo = exchange(cur_t)
-            out = search(cur_t, ref_halo)
-            return next_halo, out
+            mv_y, mv_x, cost = search(cur_t, ref_halo)
+            comp = fs.compensate_tile(
+                ref_halo, mv_y, mv_x, blk_dim=blk_dim, span=span
+            )
+            err = jnp.where(in_frame, comp - cur_t, 0)
+            row = jnp.sum(err * err, axis=1, dtype=jnp.int32)
+            sq_hi = lax.psum(
+                jnp.sum(row >> 15, dtype=jnp.int32), ("ty", "tx")
+            )
+            sq_lo = lax.psum(
+                jnp.sum(row & 0x7FFF, dtype=jnp.int32), ("ty", "tx")
+            )
+            fmax = lax.pmax(
+                jnp.max(jnp.where(in_frame, jnp.maximum(comp, cur_t), 0)),
+                ("ty", "tx"),
+            )
+            return next_halo, (mv_y, mv_x, cost, sq_hi, sq_lo, fmax)
 
         halo0 = exchange(frames_l[0])
         _, outs = lax.scan(body, halo0, frames_l[1:])
         return outs
 
     spec_stack = P(None, "ty", "tx")
+    spec_scalar = P(None)
     return shard_map(
         step,
         mesh=mesh,
         in_specs=(spec_stack,),
-        out_specs=(spec_stack,) * 3,
+        out_specs=(spec_stack,) * 3 + (spec_scalar,) * 3,
         check_vma=False,
     )(frames_p)
 

@@ -578,6 +578,8 @@ def run_gop_sharded(
     mesh,
     output_dir: str | os.PathLike,
     resume: bool = True,
+    pipelined: bool | str = "auto",
+    chunk_pairs: int = 8,
 ) -> list[str]:
     """GOP processing over a device mesh (BASELINE config: sharded 4K GOP).
 
@@ -596,10 +598,22 @@ def run_gop_sharded(
     process_allgather'd and process 0 writes the dumps. Resume requires
     every process to see the same dump directory state — pass
     resume=False unless output_dir is on a shared filesystem.
+
+    `pipelined`: on spatial-only meshes (dp == 1), consecutive pairs of
+    a run go through `sharded_gop_pipelined` — one scanned program per
+    `chunk_pairs` pairs whose cross-pair halo-overlap schedule lets XLA
+    hide the exchange behind the previous pair's search
+    (parallel/scaling.py's overlap model; dumps are bit-identical to
+    the per-pair path). "auto" (default) uses it whenever the layout
+    supports it (full search, no early_term, whole-block frames or the
+    golden backend); True forces it (raising if unsupported), False
+    keeps the per-pair batched path.
     """
     from motionestimation_tpu.parallel import ingest
     from motionestimation_tpu.parallel.sharded import (
+        _resolve_backend,
         padded_dims_for_mesh,
+        sharded_gop_pipelined,
         sharded_motion_step,
     )
 
@@ -650,9 +664,6 @@ def run_gop_sharded(
             sel = [i + 1 for i in idxs] if which == "cur" else idxs
             yield np.stack([frame_local(i) for i in sel])
 
-    cur_stream = ingest.ShardedPrefetcher(host_batches("cur"), mesh)
-    ref_stream = ingest.ShardedPrefetcher(host_batches("ref"), mesh)
-
     if multi:
         from jax.experimental import multihost_utils
 
@@ -664,6 +675,84 @@ def run_gop_sharded(
         fetch = np.asarray
 
     nby, nbx = geometry.grid_shape(h, w, config.blk_dim)
+
+    whole_blocks = h % config.blk_dim == 0 and w % config.blk_dim == 0
+    can_pipeline = (
+        dp == 1
+        and config.algorithm == "full"
+        and config.early_term is None
+        and (
+            whole_blocks
+            or _resolve_backend(
+                "auto", config.blk_dim, config.span, config.metric
+            )
+            == "golden"
+        )
+    )
+    if pipelined is True and not can_pipeline:
+        raise ValueError(
+            "pipelined=True requires a dp=1 mesh, algorithm='full', no "
+            "early_term, and whole-block frame dims (or a golden-backend "
+            "config)"
+        )
+    if (pipelined == "auto" and can_pipeline) or pipelined is True:
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        stack_sharding = NamedSharding(
+            mesh, PartitionSpec(None, "ty", "tx")
+        )
+        backend = "auto" if whole_blocks else "golden"
+        runs: list[list[int]] = []
+        for i in todo:
+            if runs and runs[-1][-1] == i - 1:
+                runs[-1].append(i)
+            else:
+                runs.append([i])
+        for run in runs:
+            for c0 in range(0, len(run), chunk_pairs):
+                idxs = run[c0 : c0 + chunk_pairs]
+                local = np.stack(
+                    [frame_local(j) for j in [idxs[0]] + [i + 1 for i in idxs]]
+                )
+                if multi:
+                    stack_g = jax.make_array_from_process_local_data(
+                        stack_sharding, local
+                    )
+                else:
+                    stack_g = jax.device_put(
+                        jnp.asarray(local), stack_sharding
+                    )
+                mv_y_p, mv_x_p, cost_p, hi_p, lo_p, fmax_p = (
+                    sharded_gop_pipelined(
+                        stack_g, mesh=mesh, blk_dim=config.blk_dim,
+                        span=config.span, metric=config.metric,
+                        frame_height=h, frame_width=w, backend=backend,
+                    )
+                )
+                mv_y = fetch(mv_y_p)[:, :nby, :nbx]
+                mv_x = fetch(mv_x_p)[:, :nby, :nbx]
+                cost = fetch(cost_p)[:, :nby, :nbx]
+                hi, lo, fmax = fetch(hi_p), fetch(lo_p), fetch(fmax_p)
+                for slot, i in enumerate(idxs):
+                    if not is_lead:
+                        continue
+                    psnr = frames_lib.psnr_from_stats(
+                        (int(hi[slot]) << 15) + int(lo[slot]),
+                        h * w, int(fmax[slot]),
+                    )
+                    np.savez(
+                        _mv_dump_path(output_dir, i),
+                        mv_y=mv_y[slot], mv_x=mv_x[slot],
+                        best_cost=cost[slot], score=cost[slot],
+                        psnr=psnr, cur=paths[i + 1], ref=paths[i],
+                    )
+                for i in idxs:
+                    frames_cache.pop(i, None)
+        return out
+
+    cur_stream = ingest.ShardedPrefetcher(host_batches("cur"), mesh)
+    ref_stream = ingest.ShardedPrefetcher(host_batches("ref"), mesh)
     for chunk, cur_b, ref_b in zip(chunks, cur_stream, ref_stream):
         res = sharded_motion_step(
             cur_b, ref_b,

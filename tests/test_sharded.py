@@ -358,7 +358,7 @@ def test_sharded_gop_pipelined_matches_per_pair(backend, h, w, metric):
         )
     stack = np.stack(frames)
     mesh = make_mesh(1, 2, 2)
-    mv_y, mv_x, cost = sharded_gop_pipelined(
+    mv_y, mv_x, cost, sq_hi, sq_lo, fmax = sharded_gop_pipelined(
         stack, mesh=mesh, blk_dim=blk, span=span, metric=metric,
         frame_height=h, frame_width=w, backend=backend,
     )
@@ -381,3 +381,11 @@ def test_sharded_gop_pipelined_matches_per_pair(backend, h, w, metric):
             np.asarray(cost)[i, :nby, :nbx],
             np.asarray(res.best_cost)[0, :nby, :nbx],
         )
+        # hi/lo splits differ (tile-local vs global row sums) but the
+        # recombined exact integer must match.
+        assert (int(np.asarray(sq_hi)[i]) << 15) + int(
+            np.asarray(sq_lo)[i]
+        ) == (int(np.asarray(res.sum_sq_hi)[0]) << 15) + int(
+            np.asarray(res.sum_sq_lo)[0]
+        )
+        assert int(np.asarray(fmax)[i]) == int(np.asarray(res.frame_max)[0])

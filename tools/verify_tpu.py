@@ -500,7 +500,7 @@ def main() -> int:
         _frame(REF_FRAMES, "ForemanYF2.yuv", 288, 352),
         _frame(REF_FRAMES, "ForemanYF4.yuv", 288, 352),
     ])
-    pmy, pmx, pcost = sharded_gop_pipelined(
+    pmy, pmx, pcost, p_hi, p_lo, p_max = sharded_gop_pipelined(
         stack, mesh=mesh, blk_dim=8, span=12, metric="mse",
         frame_height=288, frame_width=352, backend="pallas",
     )
@@ -510,12 +510,21 @@ def main() -> int:
             stack[i + 1], stack[i], 8, 12
         )
         gy, gx = o_mvy.shape
+        comp_i = frames_lib.compensate_frame_np(stack[i], o_mvy, o_mvx, 8)
+        want_psnr = frames_lib.image_psnr(
+            comp_i, stack[i + 1].astype(np.int32)
+        )
+        got_psnr = frames_lib.psnr_from_stats(
+            (int(np.asarray(p_hi)[i]) << 15) + int(np.asarray(p_lo)[i]),
+            288 * 352, int(np.asarray(p_max)[i]),
+        )
         ok = ok and (
             np.array_equal(np.asarray(pmy)[i, :gy, :gx], o_mvy)
             and np.array_equal(np.asarray(pmx)[i, :gy, :gx], o_mvx)
             and np.array_equal(
                 np.asarray(pcost)[i, :gy, :gx].astype(np.int64), o_cost
             )
+            and got_psnr == want_psnr
         )
     print(f"{'OK  ' if ok else 'FAIL'} sharded_gop_pipelined_8_12 "
           f"(cross-pair-overlap scan program on hardware vs oracle)")
