@@ -340,17 +340,18 @@ def main():
     from motionestimation_tpu.core.config import SearchConfig
     from motionestimation_tpu.pipeline import runner
 
-    # Sustained probe: ship a GOP-sized train of distinct frames
+    # Sustained probe: ship a half-GOP train of distinct frames
     # back-to-back and sync once, so per-transfer tunnel latency
     # amortizes the same way the pipeline's steady state does (a
     # single-transfer probe counts one full tunnel round trip per frame
-    # and understates the bound; a short train overstates drift). The
-    # tunnel's sustained rate drifts ~2x between measurement windows
-    # (measured 27-58 MB/s across minutes), so the bound is BRACKETED:
-    # one GOP-sized pass immediately before AND after the timed GOP, and
-    # the bound takes the link's best pass — generous toward the link,
-    # so gop_pct_of_link_bound never flatters the pipeline. The probe
-    # band [min, max] plus gop_effective_link_mb_s (total bytes the run
+    # and understates the bound). The tunnel's rate drifts 4-55 MB/s on
+    # sub-minute scales (measured round 5 — thread context and
+    # bidirectional interleaving each cost <10%, so drift is the whole
+    # story), so the bound samples MANY windows: two passes before the
+    # timed runs, one between each pair of runs, one after. The bound
+    # takes the link's best pass — generous toward the link, so
+    # gop_pct_of_link_bound never flatters the pipeline. The probe band
+    # [min, max] plus gop_effective_link_mb_s (total bytes the run
     # moved / wall) make the attribution checkable: effective rate
     # inside the band == the run was link-bound.
     def probe_pass(frames):
@@ -402,17 +403,27 @@ def main():
         # (a 2-frame GOP pads to the same 8-pair program shape).
         runner.run_gop(paths[:2], config, output_dir=outdir, resume=False)
         disk_rates = [disk_rate(paths)]
-        # Pre-run probe pass, taken immediately before the timed runs so
-        # the bracketing window is as tight as the drift allows.
-        rates_pre = [probe_rate(refs[4 : 4 + n_probe])]
-        # Best of 2 timed GOP runs — the same one-sided-noise philosophy
+        # Link probes sample half-GOP sustained passes BEFORE, BETWEEN,
+        # and AFTER the timed runs: the tunnel's rate drifts 4-55 MB/s
+        # on sub-minute scales (measured round 5; thread context and
+        # bidirectional interleaving each cost under 10%, so window
+        # drift is the whole story), and a single pre/post pair too
+        # easily catches only fast windows while the longer runs
+        # average slower ones. More samples on both sides make the
+        # [min, max] band an honest picture of the drift range.
+        half = n_probe // 2
+        link_rates = [
+            probe_rate(refs[4 : 4 + half]),
+            probe_rate(refs[4 + half : 4 + 2 * half]),
+        ]
+        # Best of 3 timed GOP runs — the same one-sided-noise philosophy
         # as the link bound (best probe pass) and the kernel rows
         # (best-of-3): the link's drift is the dominant noise and only
         # ever slows a run down, so best-vs-best is the consistent
         # comparison.
         gop_stats: dict = {}
         gop_fps = 0.0
-        for _ in range(2):
+        for r in range(3):
             run_stats: dict = {}
             t0 = time.perf_counter()
             runner.run_gop(
@@ -422,12 +433,15 @@ def main():
             fps = (GOP_FRAMES - 1) / (time.perf_counter() - t0)
             if fps > gop_fps:
                 gop_fps, gop_stats = fps, run_stats
+            if r < 2:  # between-runs probe: one more drift sample
+                mid = rng.integers(0, 256, (half, H, W), dtype=np.uint8)
+                link_rates.append(probe_rate(mid))
         disk_rates.append(disk_rate(paths))
 
     # Post-run probe pass (fresh frames so every put really transfers).
-    post_frames = rng.integers(0, 256, (n_probe, H, W), dtype=np.uint8)
-    rates_post = [probe_rate(post_frames)]
-    link_mb_s = max(rates_pre + rates_post)
+    post_frames = rng.integers(0, 256, (half, H, W), dtype=np.uint8)
+    link_rates.append(probe_rate(post_frames))
+    link_mb_s = max(link_rates)
     link_bound_fps = link_mb_s / (H * W / 1e6)
     # Total bytes the timed run moved over the link (H2D frames + D2H
     # packed results) / wall — landing inside the probe band is the
@@ -455,7 +469,7 @@ def main():
                 "gop_h2d_mb_s": round(gop_fps * H * W / 1e6, 1),
                 "gop_link_mb_s": round(link_mb_s, 1),
                 "gop_link_probe_min_mb_s": round(
-                    min(rates_pre + rates_post), 1
+                    min(link_rates), 1
                 ),
                 "gop_effective_link_mb_s": round(eff_link_mb_s, 1),
                 # Host read-path band over the GOP's own files (page-
