@@ -483,6 +483,13 @@ def main():
                 "gop_link_probe_min_mb_s": round(
                     min(link_rates), 1
                 ),
+                # max/min over the ~6 probe passes of one bench run —
+                # the tunnel's within-session drift (measured up to
+                # ~50x across sessions); pct fields are only as
+                # meaningful as this ratio is small.
+                "gop_link_drift_ratio": round(
+                    max(link_rates) / max(min(link_rates), 1e-9), 1
+                ),
                 "gop_effective_link_mb_s": round(eff_link_mb_s, 1),
                 # Host read-path band over the GOP's own files (page-
                 # cache-hot, bracketing the timed run like the link
