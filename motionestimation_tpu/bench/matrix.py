@@ -347,12 +347,11 @@ def run_matrix(version: int, results_dir: str = os.path.join(
         timed(ssim_one, j_cur, j_ref, 16),
     )
 
-    # round-5: the SSIM blk-32 cell (BASELINE config 4 x SSIM) — served
-    # by the exact per-pixel kernel: the fast kernel's f32 box-sum
-    # pyramids are exact only while block sums fit the 24-bit f32
-    # mantissa (blk 16: 16²·255² = 1.66e7 < 2²⁴; blk 32: 6.7e7 > 2²⁴),
-    # so blk 32 runs the int32 per-pixel path. Measured justification
-    # for not extending the fast kernel: docs/SPEED_OF_LIGHT.md.
+    # round-5: the SSIM blk-32 cell (BASELINE config 4 x SSIM) — the
+    # fast kernel's split hi/lo horizontal folds carry the >2²⁴ block
+    # sums exactly past the f32 mantissa (docs/SPEED_OF_LIGHT.md §7),
+    # so blk 32 now runs the hoisted-box-sum fast path (2.5x the
+    # per-pixel exact kernel it replaced: 44.3 -> ~17 ms at 4K).
     def ssim32_one(cr):
         f = ssim_search_frame_pallas(
             cr[0], cr[1], blk_dim=32, span=7, interpret=interpret,
@@ -361,7 +360,7 @@ def run_matrix(version: int, results_dir: str = os.path.join(
 
     record(
         "ssim-blk32: synthetic-Jockey 4K, SSIM, blk 32, span 7 "
-        "(exact per-pixel path)",
+        "(fast split-fold kernel)",
         timed(ssim32_one, j_cur, j_ref, 4),
     )
 

@@ -222,9 +222,12 @@ def _kernel_ssim_fast(
     win_ref,          # [halo_rows, halo_w] f32 scratch (rolled per dy)
     s1_ref,           # [halo_rows, halo_w] f32 scratch: b×b box sums of ref
     s2_ref,           # [halo_rows, halo_w] f32 scratch: box sums of ref²
+                      #   (split mode: the 2¹¹-scaled HI part)
+    s2lo_ref,         # [halo_rows, halo_w] f32 scratch: LO part (split only)
     row_ref,          # [TH, halo_w] f32 scratch (rolled per dx)
     s1row_ref,        # [nby_t, halo_w] f32 scratch (rolled per dx)
     s2row_ref,        # [nby_t, halo_w] f32 scratch (rolled per dx)
+    s2lorow_ref,      # [nby_t, halo_w] f32 scratch (split only)
     scur_ref,         # [nby_t, W] int32 scratch: Σcur per block
     sqcur_ref,        # [nby_t, W] int32 scratch: Σcur² per block
     bs_ref,           # [nby_t, W] f32 scratch (best score)
@@ -243,7 +246,7 @@ def _kernel_ssim_fast(
     chunk: int,
     emit_volume: bool = False,
 ):
-    """Fast SSIM search for interior (untruncated) blocks, blk_dim <= 16.
+    """Fast SSIM search for interior (untruncated) blocks, blk_dim <= 32.
 
     Same stripe/panel skeleton and MXU machinery as the fast MSE kernel
     (full_search_pallas._kernel_f32, chunk mode): the only per-candidate
@@ -254,17 +257,41 @@ def _kernel_ssim_fast(
     per candidate — 6 sliding-sum pyramids per candidate vs 1 here, and on
     a [TH, W] lattice instead of [TH/b, W]).
 
-    All sums are integers < 2²⁴ carried exactly in f32; they are converted
-    back to int32 and fed to the *same* `cost_lib.ssim_from_sums` the
-    golden XLA path uses, so the float32 score sequence — and therefore
-    the argmax MVs under the strict-> raster rule (ssim.c:97-105) — match
-    bit-exactly.
+    blk <= 16: all sums are integers < 2²⁴ carried exactly in f32.
+    blk > 16 (split mode): Σx² and Σcur·ref(d) reach b²·255² (6.7e7 at
+    blk 32) and would round in f32, BUT the vertical b-row compaction
+    stays <= b·255² = 2.08e6 < 2²⁴ — so the compacted value is split
+    hi·2¹¹ + lo (an exact f32 floor/scale, validated hi-sum <= 32.5k,
+    lo-sum <= 65.5k for blk <= 32) and only the cheap final horizontal
+    sliding sum runs twice; the parts recombine in int32. The MXU
+    compactions are untouched, so split mode costs one extra VPU slide
+    per pyramid, not extra matmuls.
+
+    Sums are converted to int32 and fed to the *same*
+    `cost_lib.ssim_from_sums` the golden XLA path uses (whose centered-
+    variance arithmetic stays f32-exact through blk 32), so the float32
+    score sequence — and therefore the argmax MVs under the strict->
+    raster rule (ssim.c:97-105) — match bit-exactly.
     """
     k = 2 * span + 1
     nby_t = tile_h // blk_dim
+    split = blk_dim > 16  # b²·255² > 2²⁴ ⟺ blk >= 17
+    inv = jnp.float32(1.0 / 2048.0)
     y0 = pl.program_id(0) * tile_h
     halo_rows = win_ref.shape[0]
     halo_w = win_ref.shape[1]
+
+    def hslide_i32(v):
+        """Horizontal sliding b-sum of a vertically-compacted f32 plane,
+        exact int32 result even past 2²⁴ (split mode)."""
+        if not split:
+            return _sliding_sums(v, blk_dim, axis=1).astype(jnp.int32)
+        hi = jnp.floor(v * inv)
+        lo = v - 2048.0 * hi
+        return (
+            _sliding_sums(hi, blk_dim, axis=1).astype(jnp.int32) * 2048
+            + _sliding_sums(lo, blk_dim, axis=1).astype(jnp.int32)
+        )
 
     copy_in = pltpu.make_async_copy(
         ref_hbm.at[pl.ds(y0, halo_rows), :], win_ref, in_sem
@@ -285,10 +312,9 @@ def _kernel_ssim_fast(
         jax.lax.dot(sel_sum, cur, precision=lax.Precision.HIGHEST),
         blk_dim, axis=1,
     ).astype(jnp.int32)
-    sqcur_ref[:] = _sliding_sums(
-        jax.lax.dot(sel_sum, cur * cur, precision=lax.Precision.HIGHEST),
-        blk_dim, axis=1,
-    ).astype(jnp.int32)
+    sqcur_ref[:] = hslide_i32(
+        jax.lax.dot(sel_sum, cur * cur, precision=lax.Precision.HIGHEST)
+    )
     # SSIM maximises with strict >, initial best 0 (ssim.c:88,100); MV
     # defaults to (0,0) — the golden path's documented deviation from the
     # reference's uninitialised-memory read.
@@ -300,9 +326,13 @@ def _kernel_ssim_fast(
     s1_ref[:] = _sliding_sums(
         _sliding_sums(win0, blk_dim, axis=0), blk_dim, axis=1
     )
-    s2_ref[:] = _sliding_sums(
-        _sliding_sums(win0 * win0, blk_dim, axis=0), blk_dim, axis=1
-    )
+    v2 = _sliding_sums(win0 * win0, blk_dim, axis=0)  # <= b·255² < 2²⁴
+    if split:
+        v2hi = jnp.floor(v2 * inv)
+        s2_ref[:] = _sliding_sums(v2hi, blk_dim, axis=1)
+        s2lo_ref[:] = _sliding_sums(v2 - 2048.0 * v2hi, blk_dim, axis=1)
+    else:
+        s2_ref[:] = _sliding_sums(v2, blk_dim, axis=1)
 
     def fold(i, j, cross, s1_band, s2_band):
         d_y = i - span
@@ -353,6 +383,11 @@ def _kernel_ssim_fast(
         s2row_ref[:] = jax.lax.dot(
             sel_pick, s2_ref[0:tile_h, :], precision=lax.Precision.HIGHEST
         )
+        if split:
+            s2lorow_ref[:] = jax.lax.dot(
+                sel_pick, s2lo_ref[0:tile_h, :],
+                precision=lax.Precision.HIGHEST,
+            )
         cur_v = cur_ref[:]
         for g, c0 in enumerate(range(0, k, chunk)):
             n_t = min(chunk, k - c0)
@@ -362,23 +397,34 @@ def _kernel_ssim_fast(
                     :, half + t * tile_w : half + (t + 1) * tile_w
                 ] = cur_v * row_ref[:, 0:tile_w]
                 row_ref[:] = pltpu.roll(row_ref[:], halo_w - 1, 1)
-            x_all = _sliding_sums(
+            # Vertical compaction is <= b·255² < 2²⁴ (f32-exact);
+            # hslide_i32 handles the horizontal b-sum, split past 2²⁴.
+            x_all = hslide_i32(
                 jax.lax.dot(
                     sel_sum, p_ref[:, half : half + n_t * tile_w],
                     precision=lax.Precision.HIGHEST,
-                ),
-                blk_dim,
-                axis=1,
+                )
             )
             for t in range(n_t):
+                if split:
+                    s2_band = (
+                        s2row_ref[:, 0:tile_w].astype(jnp.int32) * 2048
+                        + s2lorow_ref[:, 0:tile_w].astype(jnp.int32)
+                    )
+                else:
+                    s2_band = s2row_ref[:, 0:tile_w]
                 fold(
                     i, c0 + t,
                     x_all[:, t * tile_w : (t + 1) * tile_w],
                     s1row_ref[:, 0:tile_w],
-                    s2row_ref[:, 0:tile_w],
+                    s2_band,
                 )
                 s1row_ref[:] = pltpu.roll(s1row_ref[:], halo_w - 1, 1)
                 s2row_ref[:] = pltpu.roll(s2row_ref[:], halo_w - 1, 1)
+                if split:
+                    s2lorow_ref[:] = pltpu.roll(
+                        s2lorow_ref[:], halo_w - 1, 1
+                    )
         if emit_volume:
             # Stream this dy's [K*nby_t, W] score slab (sentinel -inf at
             # invalid candidates); overlaps the next dy's chain compute.
@@ -388,6 +434,8 @@ def _kernel_ssim_fast(
         win_ref[:] = pltpu.roll(win_ref[:], halo_rows - 1, 0)
         s1_ref[:] = pltpu.roll(s1_ref[:], halo_rows - 1, 0)
         s2_ref[:] = pltpu.roll(s2_ref[:], halo_rows - 1, 0)
+        if split:
+            s2lo_ref[:] = pltpu.roll(s2lo_ref[:], halo_rows - 1, 0)
         return 0
 
     lax.fori_loop(0, k, dy_body, 0)
@@ -472,9 +520,17 @@ def _run_ssim_fast(
             pltpu.VMEM((halo_rows, halo_w), jnp.float32),
             pltpu.VMEM((halo_rows, halo_w), jnp.float32),
             pltpu.VMEM((halo_rows, halo_w), jnp.float32),
+            pltpu.VMEM(  # s2lo pyramid (split mode: blk > 16)
+                (halo_rows, halo_w) if blk_dim > 16 else (8, 128),
+                jnp.float32,
+            ),
             pltpu.VMEM((tile_h, halo_w), jnp.float32),
             pltpu.VMEM((nby_t, halo_w), jnp.float32),
             pltpu.VMEM((nby_t, halo_w), jnp.float32),
+            pltpu.VMEM(  # s2lo row extraction (split mode)
+                (nby_t, halo_w) if blk_dim > 16 else (8, 128),
+                jnp.float32,
+            ),
             pltpu.VMEM((nby_t, wp2), jnp.int32),
             pltpu.VMEM((nby_t, wp2), jnp.int32),
             pltpu.VMEM((nby_t, wp2), jnp.float32),
@@ -518,11 +574,12 @@ def ssim_search_frame_pallas(
     MotionField with (mv, flat-index proxy, score), mirroring the golden
     SSIM path's field layout (full_search.py).
 
-    blk_dim <= 16 uses the fast hoisted-box-sum kernel (interior blocks)
-    with exact per-pixel slabs for truncated edges; larger blocks use the
-    per-pixel kernel throughout. `chunk_dx` batches dx candidates per MXU
-    matmul in the fast kernel (default 4; larger overruns the 16 MB
-    scoped-VMEM limit at 2048-lane panels).
+    blk_dim <= 32 uses the fast hoisted-box-sum kernel (interior blocks;
+    blk > 16 via the split hi/lo horizontal folds) with exact per-pixel
+    slabs for truncated edges; larger blocks use the per-pixel kernel
+    throughout. `chunk_dx` batches dx candidates per MXU matmul in the
+    fast kernel (default 4; larger overruns the 16 MB scoped-VMEM limit
+    at 2048-lane panels — blk > 16 forces chunk 2 + 1024-lane panels).
     """
     if cur.shape != ref.shape:
         raise ValueError(
@@ -547,7 +604,7 @@ def _ssim_frame_jit(cur, ref, *, blk_dim, span, tile, interpret, chunk_dx=4):
     hp, wp = geometry.padded_dims(frame_height, frame_width, blk_dim)
     nby, nbx = geometry.grid_shape(frame_height, frame_width, blk_dim)
 
-    use_fast = blk_dim <= 16
+    use_fast = blk_dim <= 32
     stripe_unit = 8 * blk_dim if use_fast else math.lcm(8, blk_dim)
     # Round the target DOWN to the stripe unit (min one unit): rounding up
     # inflates per-stripe VMEM past the 16 MB scoped limit (e.g. blk 7 →
@@ -561,9 +618,14 @@ def _ssim_frame_jit(cur, ref, *, blk_dim, span, tile, interpret, chunk_dx=4):
     dtype = jnp.float32 if use_fast else jnp.int32
 
     # Column panels (as in the fast MSE driver) bound per-stripe VMEM:
-    # a full-width 4K stripe exceeds the 16 MB scoped-VMEM limit.
+    # a full-width 4K stripe exceeds the 16 MB scoped-VMEM limit. Split
+    # mode (blk > 16) runs 256-row stripes plus an extra pyramid, so it
+    # takes narrower panels and a smaller dx chunk to stay under the
+    # scoped-VMEM budget.
+    panel_target = 2048 if blk_dim <= 16 else 1024
+    eff_chunk = (chunk_dx if chunk_dx > 1 else 4) if blk_dim <= 16 else 3
     score_panels, idx_panels = [], []
-    for x0, pw in _panel_widths(wp, blk_dim):
+    for x0, pw in _panel_widths(wp, blk_dim, panel_target):
         halo_w = _round_up(pw + 2 * span, 128)
         cur_p = _pad_slab(
             cur, row_range=(0, frame_height), col_range=(x0, x0 + pw),
@@ -582,7 +644,7 @@ def _ssim_frame_jit(cur, ref, *, blk_dim, span, tile, interpret, chunk_dx=4):
                 blk_dim=blk_dim, span=span,
                 frame_height=frame_height, frame_width=frame_width,
                 tile_h=tile_h,
-                chunk=chunk_dx if chunk_dx > 1 else 4,
+                chunk=eff_chunk,
                 interpret=interpret,
             )
         else:
@@ -619,9 +681,10 @@ def _ssim_frame_jit(cur, ref, *, blk_dim, span, tile, interpret, chunk_dx=4):
 
 def ssim_supported(blk_dim: int, span: int) -> bool:
     """Whether the fast SSIM kernel covers this config (the tile entry's
-    requirement): hoisted box-sum pyramids assume full blk×blk blocks and
-    the stripe grid needs blk_dim <= 16."""
-    return blk_dim <= 16 and span >= 1
+    requirement): hoisted box-sum pyramids assume full blk×blk blocks.
+    blk <= 16 carries every sum exactly in f32; 17..32 runs the split
+    hi/lo horizontal folds (round-5 — see _kernel_ssim_fast)."""
+    return blk_dim <= 32 and span >= 1
 
 
 def ssim_volume_pallas(
@@ -648,7 +711,7 @@ def ssim_volume_pallas(
     """
     if not ssim_supported(blk_dim, span):
         raise ValueError(
-            f"ssim_volume_pallas requires blk_dim <= 16 and span >= 1, "
+            f"ssim_volume_pallas requires blk_dim <= 32 and span >= 1, "
             f"got blk_dim={blk_dim} span={span}"
         )
     if interpret is None:
@@ -719,7 +782,8 @@ def ssim_volume_tile_pallas(
             cur_p, ref_p, origins,
             blk_dim=blk_dim, span=span,
             frame_height=frame_height, frame_width=frame_width,
-            tile_h=tile_h, chunk=4, interpret=interpret,
+            tile_h=tile_h, chunk=4 if blk_dim <= 16 else 2,
+            interpret=interpret,
             emit_volume=True,
         )
         vol_panels.append(
@@ -778,7 +842,8 @@ def _ssim_volume_jit(cur, ref, *, blk_dim, span, interpret):
             cur_p, ref_p, jnp.array([0, x0], jnp.int32),
             blk_dim=blk_dim, span=span,
             frame_height=frame_height, frame_width=frame_width,
-            tile_h=tile_h, chunk=4, interpret=interpret,
+            tile_h=tile_h, chunk=4 if blk_dim <= 16 else 2,
+            interpret=interpret,
             emit_volume=True,
         )
         panels.append(vol[:, :nby, ::blk_dim][:, :, : pw // blk_dim])

@@ -173,7 +173,9 @@ def test_sharded_ssim_uses_pallas_backend():
 
     assert _resolve_backend("auto", 8, 5, "ssim") == "pallas"
     assert _resolve_backend("auto", 16, 7, "ssim") == "pallas"
-    assert _resolve_backend("auto", 32, 7, "ssim") == "golden"
+    # round-5: the split-fold fast kernel extends SSIM to blk 32
+    assert _resolve_backend("auto", 32, 7, "ssim") == "pallas"
+    assert _resolve_backend("auto", 64, 7, "ssim") == "golden"
 
     rng = np.random.default_rng(11)
     mesh = make_mesh(1, 2, 2)

@@ -491,6 +491,36 @@ def main() -> int:
     failures += 0 if ok else 1
     extra += 1
 
+    # blk-32 SSIM through the split-fold fast kernel (round-5): MVs
+    # exact vs the oracle, scores inside the deviation-6 drift band.
+    rng32 = np.random.default_rng(5)
+    s_ref = rng32.integers(0, 256, (288, 352), dtype=np.uint8)
+    s_cur = np.clip(
+        np.roll(s_ref, (9, -13), (0, 1)).astype(np.int32)
+        + rng32.integers(-8, 9, (288, 352)),
+        0, 255,
+    ).astype(np.uint8)
+    f32s = ssim_search_frame_pallas(
+        s_cur, s_ref, blk_dim=32, span=7, interpret=False
+    )
+    o_mvy, o_mvx, o_score = rm.full_search_ssim(s_cur, s_ref, 32, 7)
+    adiff = float(
+        np.abs(
+            np.asarray(f32s.score).astype(np.float64)
+            - o_score.astype(np.float64)
+        ).max()
+    )
+    ok = (
+        np.array_equal(np.asarray(f32s.mv_y), o_mvy)
+        and np.array_equal(np.asarray(f32s.mv_x), o_mvx)
+        and adiff <= SSIM_SCORE_ATOL
+    )
+    print(f"{'OK  ' if ok else 'FAIL'} ssim_blk32_split_fold "
+          f"(fast SSIM kernel blk 32, MVs exact, score drift "
+          f"{adiff:.2e})")
+    failures += 0 if ok else 1
+    extra += 1
+
     # Cross-pair-overlap scanned GOP program on the 1-chip mesh
     # (round-5): the pipelined schedule's only hardware execution.
     from motionestimation_tpu.parallel.sharded import sharded_gop_pipelined
