@@ -12,9 +12,20 @@ Fields (labels are honest about what is timed — round-2 verdict item 7):
   value / ms_per_frame / search_fps_4k — the fused search kernel only
     (MV field reduced to a scalar on device; no compensation/readback),
     the analogue of the reference's `kernel` column (main_mse.cu:255).
-  gop_fps_4k — END-TO-END pipelined rate: run_gop over a 17-frame 4K GOP
+  gop_fps_4k — END-TO-END pipelined rate: run_gop over a 33-frame 4K GOP
     (host YUV load -> H2D -> search+compensate+PSNR stats on device ->
-    MV/stat readback -> npz dump), steady-state, overlap included.
+    MV/stat readback -> npz dump), best of 3 runs, overlap included.
+  gop_link_* — pure-stream probe band sampled before/between/after the
+    runs (+ drift ratio); gop_disk_* — page-cache-hot read band over
+    the GOP's own files; gop_workload_bound_mb_s — the same stream
+    WITH the real chunk programs + result fetches (the achievable
+    bound on this tunnel); gop_pct_of_workload_bound — the pipeline's
+    saturation of it; gop_pct_of_link_bound — best run paired with its
+    adjacent pure probe; gop_load_s/…/gop_dump_s — measured wall
+    phase split. Full attribution: results/tpu/link_attribution_r5.md.
+  diamond_crossover_* — the adversarial worst case under
+    escape_policy="crossover" (escaped blocks take the fused full
+    search; PARITY.md deviation 7).
   north_star_* — BASELINE.json's 16x16 +-15 config, search-only.
   diamond_1080p_ms / full_1080p_ms — BASELINE config 3: lazy diamond vs
     full search at 1080p 16x16 +-15 on slow-motion content (diamond must

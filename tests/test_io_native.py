@@ -77,3 +77,51 @@ def test_frames_routes_native(tmp_path):
     assert io_native.available()
     f = frames.load_yuv(REF, 288, 352)
     assert f.shape == (288, 352) and f.dtype == np.uint8
+
+
+def test_load_yuv_rows_matches_full_read(tmp_path):
+    """Multi-host row ingest: load_yuv_rows returns exactly the row
+    slice of the full read, with one seek (round-5)."""
+    import numpy as np
+
+    from motionestimation_tpu.core import frames as fl
+
+    rng = np.random.default_rng(3)
+    h, w = 37, 53
+    frame = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    p = tmp_path / "f.yuv"
+    fl.save_yuv(str(p), frame)
+    full = fl.load_yuv(str(p), h, w)
+    for lo, hi in ((0, h), (5, 20), (0, 0), (36, 37), (h, h)):
+        np.testing.assert_array_equal(
+            fl.load_yuv_rows(str(p), h, w, lo, hi), full[lo:hi]
+        )
+    import pytest
+
+    with pytest.raises(ValueError):
+        fl.load_yuv_rows(str(p), h, w, 5, 3)
+    with pytest.raises(ValueError):
+        fl.load_yuv_rows(str(p), h, w, 0, h + 1)
+
+
+def test_load_yuv_into_matches_load_yuv(tmp_path):
+    """The pooled-buffer read path is byte-identical to the allocating
+    one, and validates the buffer contract."""
+    import numpy as np
+    import pytest
+
+    from motionestimation_tpu.core import frames as fl
+
+    rng = np.random.default_rng(4)
+    h, w = 41, 29
+    frame = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    p = tmp_path / "f.yuv"
+    fl.save_yuv(str(p), frame)
+    buf = np.empty((h, w), np.uint8)
+    out = fl.load_yuv_into(str(p), buf)
+    assert out is buf
+    np.testing.assert_array_equal(buf, fl.load_yuv(str(p), h, w))
+    with pytest.raises(ValueError):
+        fl.load_yuv_into(str(p), np.empty((h, w), np.int32))
+    with pytest.raises(IOError):
+        fl.load_yuv_into(str(p), np.empty((h + 1, w), np.uint8))
