@@ -314,6 +314,21 @@ def run_matrix(version: int, results_dir: str = os.path.join(
         timed(diamond_one(32, 31, "mse", 2160, 3840), w4_cur, w4_ref, 16),
     )
 
+    def diamond_xover4k_one(cr):
+        f, _ = diamond._diamond_staged(
+            cr[0], cr[1], blk_dim=32, span=31, metric="mse",
+            early_term=None, max_steps=diamond.default_max_steps(31),
+            record_trajectory=False, frame_height=2160, frame_width=3840,
+            escape_policy="crossover",
+        )
+        return jnp.sum(f.mv_y) + jnp.sum(f.mv_x) + jnp.sum(f.best_cost_i32)
+
+    record(
+        "diamond-worstcase-crossover-4k: adversarial 4K, DIAMOND "
+        "escape_policy=crossover, blk 32, span 31",
+        timed(diamond_xover4k_one, w4_cur, w4_ref, 16),
+    )
+
     def diamond_fullvol4k_one(cr):
         f = diamond.diamond_search_frame(
             cr[0], cr[1], blk_dim=32, span=31, metric="mse",
